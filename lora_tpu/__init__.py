@@ -1,0 +1,23 @@
+"""lora_tpu — a TPU-native LoRa PHY framework (JAX / XLA / Pallas).
+
+Array-first re-design of the capabilities of myriadrf/LoRa-SDR: batched
+encode/modulate/demodulate/decode over channel banks sharded across a TPU
+mesh, with the per-symbol dechirp+FFT+argmax fused into MXU-friendly kernels
+and the bit-domain codecs vectorized as integer LUT ops.
+"""
+
+from .config import LoRaConfig, CODING_RATES
+
+__version__ = "0.1.0"
+
+__all__ = ["LoRaConfig", "CODING_RATES"]
+
+
+def __getattr__(name):
+    # Lazy top-level API to keep `import lora_tpu` light.
+    if name in ("encode", "decode", "modulate", "demodulate",
+                "DecodeResult", "DemodResult", "loopback"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(name)
