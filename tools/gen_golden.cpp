@@ -15,6 +15,10 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <complex>
+#include <cmath>
+
+#include "ChirpGenerator.hpp"  // reference oracle (-I /root/reference, Pothos stubbed)
 
 // The reference header is injected with:  g++ -include $(REF)/LoRaCodes.hpp
 // It provides: headerChecksum, sx1272DataChecksum, Sx1272ComputeWhitening,
@@ -123,8 +127,35 @@ static std::vector<uint16_t> oracle_encode(const std::vector<uint8_t> &payload,
     return symbols;
 }
 
+static void print_cf_array(const char *key,
+                           const std::vector<std::complex<float>> &v,
+                           bool trailing_comma = true) {
+    printf("  \"%s\": [", key);
+    for (size_t i = 0; i < v.size(); i++)
+        printf("%s%.9g,%.9g", i ? "," : "", double(v[i].real()), double(v[i].imag()));
+    printf("]%s\n", trailing_comma ? "," : "");
+}
+
+static void dump_chirp(const char *key, int N, int ovs, int NN, float f0_bins,
+                       bool down, float phase0) {
+    std::vector<std::complex<float>> samps(NN);
+    float phaseAccum = phase0;
+    float f0 = float(2 * M_PI * f0_bins) / (N * ovs);
+    genChirp(samps.data(), N, ovs, NN, f0, down, 1.0f, phaseAccum);
+    print_cf_array(key, samps);
+    printf("  \"%s_endphase\": [%.9g],\n", key, double(phaseAccum));
+}
+
 int main() {
     printf("{\n");
+
+    // 0. reference genChirp waveforms (ChirpGenerator.hpp:21-47)
+    dump_chirp("chirp_n16_s0_up", 16, 1, 16, 0.0f, false, 0.0f);
+    dump_chirp("chirp_n16_s5_up", 16, 1, 16, 5.0f, false, 0.0f);
+    dump_chirp("chirp_n16_s0_down", 16, 1, 16, 0.0f, true, 0.0f);
+    dump_chirp("chirp_n16_ovs4_s3_up", 16, 4, 64, 3.0f, false, 0.0f);
+    dump_chirp("chirp_n16_quarter_down", 16, 1, 4, 0.0f, true, 0.5f);
+    dump_chirp("chirp_n256_s77_up", 256, 1, 256, 77.0f, false, 0.7853981634f);
 
     // 1. whitening streams: both generator forms, raw (applied to zeros)
     for (int rdd = 0; rdd <= 4; rdd++) {
