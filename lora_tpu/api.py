@@ -1,0 +1,85 @@
+"""Top-level PHY API: encode / modulate / demodulate / decode.
+
+The reference exposes four Pothos blocks wired into a topology
+(/lora/lora_encoder -> /lora/lora_mod -> channel -> /lora/lora_demod ->
+/lora/lora_decoder); here the same surface is four pure batched functions
+over a shared :class:`LoRaConfig`, composable under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import LoRaConfig
+from .models.encoder import encode
+from .models.decoder import decode, DecodeResult, OK, STATUS_NAMES
+from .models.modulator import modulate
+from .models.demodulator import demodulate, DemodResult, required_samples
+
+__all__ = [
+    "LoRaConfig",
+    "encode",
+    "decode",
+    "modulate",
+    "demodulate",
+    "DecodeResult",
+    "DemodResult",
+    "required_samples",
+    "OK",
+    "STATUS_NAMES",
+    "extract_payloads",
+    "loopback",
+]
+
+
+def extract_payloads(result: DecodeResult) -> list[bytes | None]:
+    """Host-side helper: slice each packet's output bytes (None if dropped)."""
+    data = np.atleast_2d(np.asarray(result.data))
+    offset = np.atleast_1d(np.asarray(result.offset))
+    length = np.atleast_1d(np.asarray(result.length))
+    status = np.atleast_1d(np.asarray(result.status))
+    out = []
+    for i in range(data.shape[0]):
+        if status[i] != OK:
+            out.append(None)
+        else:
+            o, l = int(offset[i]), int(length[i])
+            out.append(bytes(data[i, o : o + l].tolist()))
+    return out
+
+
+def loopback(
+    payload,
+    cfg: LoRaConfig,
+    noise_amplitude: float = 0.0,
+    phase: float = 0.0,
+    cfo_bins: float = 0.0,
+    delay: int = 0,
+    seed: int = 0,
+):
+    """Full-chain simulation: encode -> modulate -> channel -> demodulate ->
+    decode.  payload: uint8 [B, L] (or [L]).  Returns (DecodeResult,
+    DemodResult).  Mirrors the reference loopback test topology
+    (TestLoopback.cpp:115-124) with optional impairments."""
+    from .sim import channel as ch
+
+    payload = jnp.atleast_2d(jnp.asarray(payload, jnp.uint8))
+    symbols = encode(payload, cfg)
+    # pad so the demod has search room + a full MTU window grid
+    iq = modulate(symbols, cfg)
+    need = required_samples(cfg) + delay
+    if iq.shape[-1] < need:
+        iq = jnp.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
+    if delay:
+        iq = ch.time_offset(iq, delay)[..., : need]
+    if cfo_bins:
+        iq = ch.cfo(iq, cfo_bins, cfg.N)
+    if phase:
+        iq = ch.rotate(iq, phase)
+    if noise_amplitude:
+        iq = ch.awgn(jax.random.PRNGKey(seed), iq, noise_amplitude)
+    dem = demodulate(iq, cfg)
+    dec = decode(dem.symbols.astype(jnp.int32), cfg)
+    return dec, dem

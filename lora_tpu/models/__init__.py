@@ -1,1 +1,1 @@
-from . import encoder, decoder  # noqa: F401
+from . import encoder, decoder, modulator, demodulator  # noqa: F401

@@ -1,0 +1,209 @@
+"""Batched LoRa frame demodulator: complex baseband -> symbols.
+
+The reference demodulator is a sample-consuming 5-state FSM
+(/root/reference/LoRaDemod.cpp:145-327): FRAMESYNC retimes by consuming
+N-value samples per window and integrates the fractional-bin offset into a
+fine-CFO rotator; two downchirps give the coarse CFO; the quarter chirp
+applies a joint time/frequency correction; then one data symbol per work().
+Data-dependent `consume()` cannot exist under XLA's static shapes.
+
+TPU-native reformulation (SURVEY.md §7 item 2):
+
+  1. *Block-parallel coarse search*: dechirp-FFT every stride-N window of
+     the block at once; inside a preamble every window reads the same bin v
+     (a time shift of the base upchirp is a cyclic FFT shift, and windows
+     straddling two identical preamble chirps are still exact cyclic
+     shifts).  The frame alignment is t0 = w*N + (N - v) mod N from the
+     strongest agreeing window pair — one gather instead of a retiming walk.
+  2. *Short sync scan*: a lax.scan over at most MAX_SYNC_SEARCH aligned
+     windows emulates the FRAMESYNC contract exactly — sync match via
+     (value+4)/8 quantization against the sync nibbles with the two-symbol
+     lookahead (LoRaDemod.cpp:183-206), fine-CFO integration of f_index on
+     non-sync windows (:220), reset on squelch (:232).
+  3. Downchirp pair -> signed coarse CFO, averaged with C truncation
+     (:246-265); quarter-chirp step consumes N/4 + freqError/2 and folds
+     freqError/2 into the fine CFO (:278-279).
+  4. *Batched payload*: all MTU data windows are gathered at the resolved
+     offset and detected in one fused dechirp+FFT+argmax; the squelch cut
+     becomes a mask (the squelched symbol is included in the packet, as in
+     the reference :290-301).
+
+Everything is static-shape; per-frame timing enters only through traced
+dynamic-slice starts, so the whole demodulator jits once per (config,
+buffer length) and vmaps over channel banks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LoRaConfig
+from ..ops import detect as det_ops
+
+MAX_SYNC_SEARCH = 13  # aligned windows scanned for the sync word (>= 9
+#                       remaining preamble + 2 sync + margin)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DemodResult:
+    """Per-frame demod outputs (leading axes = batch)."""
+
+    symbols: jax.Array     # int16 [..., mtu] detected data symbols
+    count: jax.Array       # int32 [...] symbols in the packet (incl. squelched)
+    found: jax.Array       # bool [...] sync word matched
+    freq_error: jax.Array  # int32 [...] coarse CFO, bins (signal `error`)
+    fine_freq: jax.Array   # float32 [...] fine CFO at data start, bins
+    power: jax.Array       # float32 [...] dB (signal `power`)
+    snr: jax.Array         # float32 [...] dB (signal `snr`)
+    t_sync: jax.Array      # int32 [...] sample index of the sync-word symbol
+    consumed: jax.Array    # int32 [...] samples consumed through the packet
+    dec: Optional[jax.Array] = None   # complex64 [..., mtu, N] dechirped (debug)
+    fft_mag2: Optional[jax.Array] = None  # float32 [..., mtu, N] spectra (debug)
+
+
+def required_samples(cfg: LoRaConfig, search_symbols: int = 4) -> int:
+    """Minimum buffer length for demodulate(): search margin + preamble +
+    sync + downchirps + quarter + MTU payload + retime slack."""
+    N = cfg.N
+    return (search_symbols + 10 + 2 + 2 + 1 + cfg.mtu + 1) * N + N // 4
+
+
+def _trunc_half(x: jax.Array) -> jax.Array:
+    """C-style integer division by 2 (truncates toward zero)."""
+    return jnp.sign(x) * (jnp.abs(x) // 2)
+
+
+def _demod_frame(x: jax.Array, cfg: LoRaConfig, debug: bool):
+    T = x.shape[-1]
+    N = cfg.N
+    thresh = jnp.float32(cfg.thresh)
+    sync0 = cfg.sync >> 4
+    sync1 = cfg.sync & 0xF
+
+    # ---- 1. block-parallel coarse alignment --------------------------------
+    W = T // N
+    win = x[: W * N].reshape(W, N)
+    d0 = det_ops.dechirp_detect(win)
+    snr0 = d0.power - d0.noise
+    v = d0.value
+    dv = jnp.abs(v[:-1] - v[1:])
+    dist = jnp.minimum(dv, N - dv)
+    pair_snr = jnp.minimum(snr0[:-1], snr0[1:])
+    agree = (dist <= 2) & (pair_snr > thresh)
+    score = jnp.where(agree, pair_snr, -jnp.inf)
+    best = jnp.max(score)
+    # earliest pair within 6 dB of the strongest (robust against noise
+    # windows passing the reference's permissive default threshold)
+    good = agree & (score >= best - 6.0)
+    first_w = jnp.argmax(good)
+    found_pre = jnp.any(good)
+    v_sel = v[first_w + 1]
+    t0 = (first_w + 1) * N + ((N - v_sel) % N)
+    t0 = jnp.clip(t0, 0, T - 1).astype(jnp.int32)
+
+    # ---- 2. FRAMESYNC scan on the aligned grid -----------------------------
+    def sync_step(carry, k):
+        state, ferr, prev_q, k_sync = carry
+        xk = jax.lax.dynamic_slice(x, (t0 + k * N,), (N,))
+        dk = det_ops.dechirp_detect(xk, ferr=ferr)
+        squelched = (dk.power - dk.noise) < thresh
+        q = (dk.value + 4) // 8
+        xk1 = jax.lax.dynamic_slice(x, (t0 + (k + 1) * N,), (N,))
+        dk1 = det_ops.dechirp_detect(xk1, ferr=ferr)
+        q1 = (dk1.value + 4) // 8
+        searching = state == 0
+        is_sync = (
+            searching
+            & ~squelched
+            & (prev_q == 0)
+            & (q == sync0)
+            & (q1 == sync1)
+        )
+        new_state = jnp.where(is_sync, 1, state)
+        new_ksync = jnp.where(is_sync, k, k_sync)
+        # fine-CFO integrator on non-sync preamble windows; reset on squelch
+        new_ferr = jnp.where(
+            searching & ~is_sync & ~squelched,
+            ferr + dk.f_index,
+            jnp.where(searching & squelched, 0.0, ferr),
+        )
+        new_prev = jnp.where(searching & ~is_sync, q, prev_q)
+        return (new_state, new_ferr, new_prev, new_ksync), None
+
+    init = (jnp.int32(0), jnp.float32(0.0), jnp.int32(999), jnp.int32(0))
+    (state, ferr, _, k_sync), _ = jax.lax.scan(
+        sync_step, init, jnp.arange(MAX_SYNC_SEARCH, dtype=jnp.int32)
+    )
+    found = found_pre & (state == 1)
+
+    # ---- 3. downchirps: coarse CFO ------------------------------------------
+    t_dc = t0 + (k_sync + 2) * N
+    x_dc0 = jax.lax.dynamic_slice(x, (t_dc,), (N,))
+    x_dc1 = jax.lax.dynamic_slice(x, (t_dc + N,), (N,))
+    ddc0 = det_ops.dechirp_detect(x_dc0, down=True, ferr=ferr)
+    ddc1 = det_ops.dechirp_detect(x_dc1, down=True, ferr=ferr)
+
+    def signed(val):
+        return jnp.where(val > N // 2, val - N, val).astype(jnp.int32)
+
+    freq_error = _trunc_half(signed(ddc0.value) + signed(ddc1.value))
+    power = ddc1.power
+    snr = ddc1.power - ddc1.noise
+
+    # ---- 4. quarter-chirp joint time/frequency correction ------------------
+    fine_total = ferr + _trunc_half(freq_error).astype(jnp.float32)
+    data_start = t_dc + 2 * N + N // 4 + _trunc_half(freq_error)
+    data_start = jnp.clip(data_start, 0, max(0, T - cfg.mtu * N)).astype(jnp.int32)
+
+    # ---- 5. batched payload demod -------------------------------------------
+    xd = jax.lax.dynamic_slice(x, (data_start,), (cfg.mtu * N,)).reshape(
+        cfg.mtu, N
+    )
+    dec = det_ops.dechirp(xd, ferr=fine_total)
+    dd = det_ops.detect(dec, want_mag2=debug)
+    snr_d = dd.power - dd.noise
+    squelched_d = snr_d < thresh
+    any_sq = jnp.any(squelched_d)
+    first_sq = jnp.argmax(squelched_d)
+    count = jnp.where(any_sq, jnp.minimum(first_sq + 1, cfg.mtu), cfg.mtu)
+    count = jnp.where(found, count, 0).astype(jnp.int32)
+    sym_mask = jnp.arange(cfg.mtu) < count
+    symbols = jnp.where(sym_mask, dd.value, 0).astype(jnp.int16)
+
+    return DemodResult(
+        symbols=symbols,
+        count=count,
+        found=found,
+        freq_error=jnp.where(found, freq_error, 0),
+        fine_freq=jnp.where(found, fine_total, 0.0),
+        power=power,
+        snr=snr,
+        t_sync=(t0 + k_sync * N).astype(jnp.int32),
+        consumed=jnp.where(found, data_start + count * N, t0).astype(jnp.int32),
+        dec=dec if debug else None,
+        fft_mag2=dd.mag2 if debug else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "debug"))
+def demodulate(x: jax.Array, cfg: LoRaConfig, debug: bool = False):
+    """Demodulate one frame per channel buffer.
+
+    x: complex64 [B, T] (or [T]) baseband at 1 sample/chip, T >=
+    required_samples(cfg).  Returns a :class:`DemodResult`; with
+    debug=True it also carries the dechirped payload windows and their
+    spectra (the reference's `dec`/`fft` debug ports, LoRaDemod.cpp:81-83).
+    """
+    squeeze = x.ndim == 1
+    xb = jnp.atleast_2d(x).astype(jnp.complex64)
+    res = jax.vmap(lambda row: _demod_frame(row, cfg, debug))(xb)
+    if squeeze:
+        res = jax.tree.map(lambda a: a[0], res)
+    return res

@@ -37,17 +37,16 @@ def _turns_to_iq(turns: jax.Array, ampl) -> jax.Array:
     return jax.lax.complex(jnp.cos(ang) * ampl, jnp.sin(ang) * ampl)
 
 
-def chirp_phase_turns(
+def chirp_phase_nums(
     s, n_samples: int, N: int, ovs: int = 1, down: bool = False
 ):
-    """Phase (in turns, mod 1) of one chirp symbol plus the end-of-symbol
-    phase carry (turns).
+    """Exact integer phase numerators of one chirp symbol: phase_i =
+    2*pi*num_i/D with D = N*ovs^2, plus the end-of-symbol carry numerator.
 
     s: traced or static symbol frequency offset in FFT bins (int; f0 =
        2*pi*s/NN in the reference's terms).  n_samples: samples to emit
        (NN for a full symbol, NN/4 for the quarter chirp).
-    Returns (turns[n_samples], carry_turns) — both exact rationals over
-    D = N*ovs*ovs represented as int32 numerators when D is a power of two.
+    Returns (num[n_samples] uint32 in [0, D), carry uint32).
     """
     D = N * ovs * ovs
     if D & (D - 1):
@@ -74,6 +73,15 @@ def chirp_phase_turns(
     if down:
         num = (np.uint32(D) - num) & np.uint32(D - 1)
         carry = (np.uint32(D) - carry) & np.uint32(D - 1)
+    return num, carry
+
+
+def chirp_phase_turns(
+    s, n_samples: int, N: int, ovs: int = 1, down: bool = False
+):
+    """Phase (in turns, mod 1) of one chirp symbol + end carry (int numerator)."""
+    D = N * ovs * ovs
+    num, carry = chirp_phase_nums(s, n_samples, N, ovs, down)
     return num.astype(jnp.float32) / np.float32(D), carry.astype(jnp.int32)
 
 

@@ -1,0 +1,117 @@
+"""Full PHY loopback: encode -> modulate -> channel -> demodulate -> decode.
+
+Mirrors the reference's test_loopback (TestLoopback.cpp:66-133): SF10 with
+CR 4/7 and 4/8, TX amplitude 1.0 against NORMAL noise of amplitude 4.0,
+byte-exact payload recovery — plus receiver-recovery cases the reference
+only exercises via its GUI topologies: sample delay, static phase rotation
+(pi/1.2345 from lora_simulation.pth), and CFO.
+"""
+
+import numpy as np
+import pytest
+
+from lora_tpu import api
+from lora_tpu.config import LoRaConfig
+
+
+def mtu_for(cfg, payload_len):
+    return cfg.num_symbols(payload_len) + 4
+
+
+@pytest.mark.parametrize("sf", [7, 8, 9, 10, 11, 12])
+def test_clean_loopback_all_sf(sf, rng):
+    payload = rng.integers(0, 256, size=(2, 16)).astype(np.uint8)
+    cfg = LoRaConfig(sf=sf, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 16))
+    dec, dem = api.loopback(payload, cfg)
+    assert np.all(np.asarray(dem.found))
+    got = api.extract_payloads(dec)
+    assert got == [bytes(p.tolist()) for p in payload]
+
+
+@pytest.mark.parametrize("cr", ["4/7", "4/8"])
+def test_noisy_loopback_reference_operating_point(cr, rng):
+    # TestLoopback.cpp:93-101: SF10, signal 1.0 vs NORMAL noise 4.0
+    lengths = [8, 33, 64]
+    cfg = LoRaConfig(sf=10, cr=cr, ampl=1.0)
+    for i, L in enumerate(lengths):
+        payload = rng.integers(0, 256, size=(2, L)).astype(np.uint8)
+        c = cfg.replace(mtu=mtu_for(cfg, L))
+        dec, dem = api.loopback(payload, c, noise_amplitude=4.0, seed=i)
+        assert np.all(np.asarray(dem.found)), f"len {L}"
+        got = api.extract_payloads(dec)
+        assert got == [bytes(p.tolist()) for p in payload], f"len {L}"
+
+
+def test_loopback_with_timing_offset(rng):
+    payload = rng.integers(0, 256, size=(1, 24)).astype(np.uint8)
+    cfg = LoRaConfig(sf=8, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 24))
+    for delay in (1, 97, 777, 2048):
+        dec, dem = api.loopback(payload, cfg, delay=delay)
+        assert bool(np.asarray(dem.found)[0]), f"delay {delay}"
+        assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
+
+
+def test_loopback_with_phase_rotation(rng):
+    # the simulation topology's /comms/rotate impairment (pi/1.2345)
+    payload = rng.integers(0, 256, size=(1, 24)).astype(np.uint8)
+    cfg = LoRaConfig(sf=8, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 24))
+    dec, dem = api.loopback(payload, cfg, phase=np.pi / 1.2345)
+    assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
+
+
+def test_loopback_with_cfo(rng):
+    payload = rng.integers(0, 256, size=(1, 24)).astype(np.uint8)
+    cfg = LoRaConfig(sf=8, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 24))
+    for cfo in (-2.0, -0.4, 0.4, 2.3):
+        dec, dem = api.loopback(payload, cfg, cfo_bins=cfo, delay=55)
+        assert bool(np.asarray(dem.found)[0]), f"cfo {cfo}"
+        assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist()), cfo
+        # the coarse CFO estimate reads ~2x the injected offset (downchirp
+        # sees time+freq jointly; the demod halves it, LoRaDemod.cpp:278-279)
+        if abs(cfo) >= 1:
+            assert abs(int(dem.freq_error[0]) - round(2 * cfo)) <= 1
+
+
+def test_loopback_alternate_sync_word(rng):
+    payload = rng.integers(0, 256, size=(1, 16)).astype(np.uint8)
+    cfg = LoRaConfig(sf=9, cr="4/6", ampl=1.0, sync=0x3C)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 16))
+    dec, dem = api.loopback(payload, cfg, delay=300)
+    assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
+    # a demod configured for a different sync word must NOT sync
+    from lora_tpu.models import demodulator, encoder, modulator
+    import jax.numpy as jnp
+
+    sym = encoder.encode(jnp.asarray(payload), cfg)
+    iq = modulator.modulate(sym, cfg)
+    iq = jnp.pad(iq, ((0, 0), (0, demodulator.required_samples(cfg))))
+    other = cfg.replace(sync=0x4E)
+    dem2 = demodulator.demodulate(iq, other)
+    assert not bool(np.asarray(dem2.found)[0])
+
+
+def test_loopback_reduced_symbol_set(rng):
+    # relay/client topology config: PPM = SF-2 (lora_sdr_relay.pth globals)
+    payload = rng.integers(0, 256, size=(1, 20)).astype(np.uint8)
+    cfg = LoRaConfig(sf=11, ppm=9, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 20))
+    dec, dem = api.loopback(payload, cfg, noise_amplitude=1.0)
+    assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
+
+
+def test_demod_squelch_on_pure_noise(rng):
+    # no frame present: the demodulator must not report a packet
+    import jax, jax.numpy as jnp
+    from lora_tpu.models import demodulator
+
+    cfg = LoRaConfig(sf=8, ampl=1.0, mtu=16, thresh=-18.0)
+    T = demodulator.required_samples(cfg)
+    noise = (rng.normal(size=(1, T)) + 1j * rng.normal(size=(1, T))).astype(
+        np.complex64
+    )
+    dem = demodulator.demodulate(jnp.asarray(noise), cfg)
+    assert int(dem.count[0]) == 0
