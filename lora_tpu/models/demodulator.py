@@ -203,6 +203,9 @@ def demodulate(x: jax.Array, cfg: LoRaConfig, debug: bool = False):
     """
     squeeze = x.ndim == 1
     xb = jnp.atleast_2d(x).astype(jnp.complex64)
+    need = required_samples(cfg)
+    if xb.shape[-1] < need:  # static: pad short buffers to the demod window
+        xb = jnp.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
     res = jax.vmap(lambda row: _demod_frame(row, cfg, debug))(xb)
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)

@@ -1,0 +1,11 @@
+from .mesh import make_mesh, channel_sharding, shard_demodulate, aggregate_metrics
+from .halo import halo_exchange, demodulate_stream
+
+__all__ = [
+    "make_mesh",
+    "channel_sharding",
+    "shard_demodulate",
+    "aggregate_metrics",
+    "halo_exchange",
+    "demodulate_stream",
+]
