@@ -37,12 +37,17 @@ def main() -> None:
     # channel-bank size: ~0.5 GB of input on an accelerator, small on CPU CI
     B = 1024 if plat != "cpu" else 8
 
+    from lora_tpu.ops import cplx
+
     rng = np.random.default_rng(0)
     payload = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     iq = api.modulate(api.encode(payload, cfg), cfg)
-    iq = jnp.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
-    noise = 0.1 * (rng.standard_normal((B, T)) + 1j * rng.standard_normal((B, T)))
-    iq = (iq + jnp.asarray(noise, jnp.complex64)).block_until_ready()
+    iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
+    iq = cplx.IQ(
+        iq.re + jnp.asarray(0.1 * rng.standard_normal((B, T)), jnp.float32),
+        iq.im + jnp.asarray(0.1 * rng.standard_normal((B, T)), jnp.float32),
+    )
+    jax.block_until_ready(iq)
 
     @jax.jit
     def step(x):

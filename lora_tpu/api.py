@@ -17,9 +17,12 @@ from .models.encoder import encode
 from .models.decoder import decode, DecodeResult, OK, STATUS_NAMES
 from .models.modulator import modulate
 from .models.demodulator import demodulate, DemodResult, required_samples
+from .ops import cplx
+from .ops.cplx import IQ
 
 __all__ = [
     "LoRaConfig",
+    "IQ",
     "encode",
     "decode",
     "modulate",
@@ -71,7 +74,7 @@ def loopback(
     iq = modulate(symbols, cfg)
     need = required_samples(cfg) + delay
     if iq.shape[-1] < need:
-        iq = jnp.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
+        iq = cplx.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
     if delay:
         iq = ch.time_offset(iq, delay)[..., : need]
     if cfo_bins:

@@ -44,7 +44,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LoRaConfig
+from ..ops import cplx
 from ..ops import detect as det_ops
+from ..ops.cplx import IQ
 
 MAX_SYNC_SEARCH = 13  # aligned windows scanned for the sync word (>= 9
 #                       remaining preamble + 2 sync + margin)
@@ -64,7 +66,7 @@ class DemodResult:
     snr: jax.Array         # float32 [...] dB (signal `snr`)
     t_sync: jax.Array      # int32 [...] sample index of the sync-word symbol
     consumed: jax.Array    # int32 [...] samples consumed through the packet
-    dec: Optional[jax.Array] = None   # complex64 [..., mtu, N] dechirped (debug)
+    dec: Optional[IQ] = None          # planar IQ [..., mtu, N] dechirped (debug)
     fft_mag2: Optional[jax.Array] = None  # float32 [..., mtu, N] spectra (debug)
 
 
@@ -80,7 +82,7 @@ def _trunc_half(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * (jnp.abs(x) // 2)
 
 
-def _demod_frame(x: jax.Array, cfg: LoRaConfig, debug: bool):
+def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     T = x.shape[-1]
     N = cfg.N
     thresh = jnp.float32(cfg.thresh)
@@ -111,11 +113,11 @@ def _demod_frame(x: jax.Array, cfg: LoRaConfig, debug: bool):
     # ---- 2. FRAMESYNC scan on the aligned grid -----------------------------
     def sync_step(carry, k):
         state, ferr, prev_q, k_sync = carry
-        xk = jax.lax.dynamic_slice(x, (t0 + k * N,), (N,))
+        xk = cplx.dynamic_slice(x, (t0 + k * N,), (N,))
         dk = det_ops.dechirp_detect(xk, ferr=ferr)
         squelched = (dk.power - dk.noise) < thresh
         q = (dk.value + 4) // 8
-        xk1 = jax.lax.dynamic_slice(x, (t0 + (k + 1) * N,), (N,))
+        xk1 = cplx.dynamic_slice(x, (t0 + (k + 1) * N,), (N,))
         dk1 = det_ops.dechirp_detect(xk1, ferr=ferr)
         q1 = (dk1.value + 4) // 8
         searching = state == 0
@@ -145,8 +147,8 @@ def _demod_frame(x: jax.Array, cfg: LoRaConfig, debug: bool):
 
     # ---- 3. downchirps: coarse CFO ------------------------------------------
     t_dc = t0 + (k_sync + 2) * N
-    x_dc0 = jax.lax.dynamic_slice(x, (t_dc,), (N,))
-    x_dc1 = jax.lax.dynamic_slice(x, (t_dc + N,), (N,))
+    x_dc0 = cplx.dynamic_slice(x, (t_dc,), (N,))
+    x_dc1 = cplx.dynamic_slice(x, (t_dc + N,), (N,))
     ddc0 = det_ops.dechirp_detect(x_dc0, down=True, ferr=ferr)
     ddc1 = det_ops.dechirp_detect(x_dc1, down=True, ferr=ferr)
 
@@ -163,7 +165,7 @@ def _demod_frame(x: jax.Array, cfg: LoRaConfig, debug: bool):
     data_start = jnp.clip(data_start, 0, max(0, T - cfg.mtu * N)).astype(jnp.int32)
 
     # ---- 5. batched payload demod -------------------------------------------
-    xd = jax.lax.dynamic_slice(x, (data_start,), (cfg.mtu * N,)).reshape(
+    xd = cplx.dynamic_slice(x, (data_start,), (cfg.mtu * N,)).reshape(
         cfg.mtu, N
     )
     dec = det_ops.dechirp(xd, ferr=fine_total)
@@ -196,16 +198,17 @@ def _demod_frame(x: jax.Array, cfg: LoRaConfig, debug: bool):
 def demodulate(x: jax.Array, cfg: LoRaConfig, debug: bool = False):
     """Demodulate one frame per channel buffer.
 
-    x: complex64 [B, T] (or [T]) baseband at 1 sample/chip, T >=
-    required_samples(cfg).  Returns a :class:`DemodResult`; with
+    x: planar IQ (or complex array, converted) [B, T] (or [T]) baseband at
+    1 sample/chip; buffers shorter than required_samples(cfg) are padded.  Returns a :class:`DemodResult`; with
     debug=True it also carries the dechirped payload windows and their
     spectra (the reference's `dec`/`fft` debug ports, LoRaDemod.cpp:81-83).
     """
+    x = cplx.as_iq(x)
     squeeze = x.ndim == 1
-    xb = jnp.atleast_2d(x).astype(jnp.complex64)
+    xb = x if not squeeze else x.reshape(1, -1)
     need = required_samples(cfg)
     if xb.shape[-1] < need:  # static: pad short buffers to the demod window
-        xb = jnp.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
+        xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
     res = jax.vmap(lambda row: _demod_frame(row, cfg, debug))(xb)
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LoRaConfig
+from ..ops import cplx
 from ..ops.chirp import chirp_phase_nums as _phase_nums
+from ..ops.cplx import IQ
 
 
 def preamble_nums(cfg: LoRaConfig):
@@ -52,7 +54,7 @@ def modulate(symbols: jax.Array, cfg: LoRaConfig) -> jax.Array:
 
     symbols: uint16/int32 [B, S] (or [S]) data symbols (already Gray-decoded
     and LSB-padded by the encoder).
-    Returns complex64 [B, T] baseband at cfg.ovs samples/chip,
+    Returns planar IQ [B, T] baseband at cfg.ovs samples/chip,
     T = cfg.frame_samples(S).
     """
     squeeze = symbols.ndim == 1
@@ -63,9 +65,7 @@ def modulate(symbols: jax.Array, cfg: LoRaConfig) -> jax.Array:
     ampl = jnp.float32(cfg.ampl)
 
     head_nums, head_carry = preamble_nums(cfg)
-    head_iq = ampl * jnp.exp(
-        (2j * np.pi) * (head_nums.astype(jnp.float32) / np.float32(D))
-    ).astype(jnp.complex64)
+    head_iq = cplx.from_turns(head_nums.astype(jnp.float32) / np.float32(D), ampl)
 
     # per-data-symbol phase profiles + parallel phase-continuity prefix sum
     def one_symbol(s):
@@ -75,13 +75,15 @@ def modulate(symbols: jax.Array, cfg: LoRaConfig) -> jax.Array:
     starts = jnp.cumsum(carries, axis=-1, dtype=jnp.uint32) - carries
     starts = (starts + head_carry) & np.uint32(D - 1)
     nums = (nums + starts[..., None]) & np.uint32(D - 1)
-    data_iq = ampl * jnp.exp(
-        (2j * np.pi) * (nums.astype(jnp.float32) / np.float32(D))
-    ).astype(jnp.complex64)
+    data_iq = cplx.from_turns(nums.astype(jnp.float32) / np.float32(D), ampl)
     data_iq = data_iq.reshape(B, S * NN)
 
-    pad = jnp.zeros((B, cfg.padding * NN), jnp.complex64)
-    out = jnp.concatenate(
-        [jnp.broadcast_to(head_iq, (B, head_iq.shape[0])), data_iq, pad], axis=-1
+    out = cplx.concatenate(
+        [
+            cplx.broadcast_to(head_iq, (B, head_iq.shape[0])),
+            data_iq,
+            cplx.zeros((B, cfg.padding * NN)),
+        ],
+        axis=-1,
     )
     return out[0] if squeeze else out

@@ -1,0 +1,151 @@
+"""Critically-sampled polyphase DFT channelizer (wideband -> channel bank).
+
+The reference processes exactly one narrowband stream; multi-channel
+reception exists only as separate radio topologies (SURVEY.md §6,
+BASELINE.json config 3 makes the channelizer a first-class target for the
+TPU build).  This module splits one wideband capture at rate K*BW into K
+critically-sampled channels of rate BW:
+
+    y_k[m] = sum_t h[t] x[mK - t] e^{-2 pi i k (mK - t) / K}
+           = sum_p e^{+2 pi i p k / K} * sum_l h[lK+p] x[(m-l)K - p]
+
+i.e. a *flipped* commutator Xrev[r, p] = x[rK - p] (each K-block reversed,
+with LK-1 samples of filter history), per-phase FIR with the prototype's
+polyphase components (a static unrolled sum of L shifted multiplies, fused
+by XLA on the VPU), then a K-point IDFT across phases as one [K, K] planar
+matmul on the MXU.  Each channel is an exact time-invariant bandpass
+filter + decimator; on this decimation grid the channel-k residual
+carrier e^{2 pi i k m} is exactly 1, so each output is true baseband at
+the channel rate.
+
+The prototype is a Kaiser-windowed sinc designed at import time (numpy,
+host).  Channel k is centered at +k/K of the wideband sample rate
+(negative frequencies = K-k).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cplx
+from .cplx import IQ
+
+
+@functools.lru_cache(maxsize=None)
+def prototype(K: int, taps_per_phase: int = 8, beta: float = 8.0) -> np.ndarray:
+    """Kaiser lowpass prototype, length K*taps_per_phase, passband 0.5/K
+    of the wideband rate, unit DC gain per channel."""
+    L = K * taps_per_phase
+    n = np.arange(L) - (L - 1) / 2
+    h = np.sinc(n / K) * np.kaiser(L, beta)
+    return (h / h.sum()).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_k(K: int) -> tuple[np.ndarray, np.ndarray]:
+    p = np.arange(K)
+    ang = 2 * np.pi / K * np.outer(p, p)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def channelize(
+    x,
+    K: int,
+    taps_per_phase: int = 8,
+    state: IQ | None = None,
+) -> tuple[IQ, IQ]:
+    """Split wideband IQ [..., T] (T % K == 0) into K channels.
+
+    Returns (y, new_state):
+      y          IQ [..., K, T//K] channel-k baseband at rate fs/K
+      new_state  IQ [..., taps_per_phase*K - 1] tail samples to prepend to
+                 the next block (streaming continuity; pass as `state`)
+
+    With state=None the filter history starts at zero (first block).
+    """
+    x = cplx.as_iq(x)
+    T = x.shape[-1]
+    if T % K:
+        raise ValueError(f"block length {T} not divisible by K={K}")
+    L = taps_per_phase
+    hist = L * K - 1  # filter length minus one
+    if state is None:
+        state = cplx.zeros((*x.shape[:-1], hist))
+    xp = cplx.concatenate([state, x], axis=-1)  # [..., hist + T]
+    new_state = xp[..., -hist:]
+
+    M = T // K
+    # flipped commutator: Xrev[r, p] = xp[rK + (K-1-p)] = x[rK - p - hist_adj]
+    rows = M + L - 1
+    Xc = xp[..., : rows * K].reshape(*x.shape[:-1], rows, K)
+    Xrev = IQ(jnp.flip(Xc.re, axis=-1), jnp.flip(Xc.im, axis=-1))
+    h = prototype(K, taps_per_phase)
+    H = h.reshape(L, K)  # phase l taps: H[l, p] = h[lK + p]
+
+    # per-phase FIR: U[m, p] = sum_l H[l, p] * Xrev[m + (L-1) - l, p]
+    ur = jnp.zeros((*x.shape[:-1], M, K), jnp.float32)
+    ui = jnp.zeros((*x.shape[:-1], M, K), jnp.float32)
+    for l in range(L):
+        w = jnp.asarray(H[l])
+        s = L - 1 - l
+        ur = ur + w * Xrev.re[..., s : s + M, :]
+        ui = ui + w * Xrev.im[..., s : s + M, :]
+
+    # K-point IDFT across phases on the MXU: y[m, k] = sum_p U[m, p] W[p, k]
+    wre, wim = _idft_k(K)
+    y = cplx.matmul(IQ(ur, ui), IQ(jnp.asarray(wre), jnp.asarray(wim)))
+    # [..., M, K] -> [..., K, M]
+    y = IQ(jnp.swapaxes(y.re, -1, -2), jnp.swapaxes(y.im, -1, -2))
+    return y, new_state
+
+
+def synthesize_tone(T: int, freq_cycles_per_sample: float, ampl: float = 1.0) -> IQ:
+    """Test helper: complex exponential e^{2 pi i f n} (host-built)."""
+    n = np.arange(T)
+    ang = 2 * np.pi * freq_cycles_per_sample * n
+    return IQ(
+        jnp.asarray(ampl * np.cos(ang), jnp.float32),
+        jnp.asarray(ampl * np.sin(ang), jnp.float32),
+    )
+
+
+def upconvert(x, K: int, channel: int, T_out: int | None = None) -> IQ:
+    """Test/TX helper: place narrowband IQ [..., M] onto wideband channel
+    `channel` of a K-channel grid by zero-stuffing, lowpass interpolation
+    with the same prototype, and mixing to +channel/K.
+
+    A real TX combiner would use the synthesis filterbank; this direct
+    form is O(K L) per output sample and meant for test vectors and small
+    banks.
+    """
+    x = cplx.as_iq(x)
+    M = x.shape[-1]
+    T = M * K if T_out is None else T_out
+    # zero-stuff: w[nK] = x[n]
+    z = cplx.zeros((*x.shape[:-1], M, K))
+    z = IQ(
+        z.re.at[..., :, 0].set(x.re),
+        z.im.at[..., :, 0].set(x.im),
+    ).reshape(*x.shape[:-1], M * K)
+    # interpolate: convolution with K * prototype (unit passband gain)
+    h = prototype(K) * K
+    L = h.shape[0]
+    zp = cplx.pad(z, [(0, 0)] * (x.ndim - 1) + [(L - 1, L - 1)])
+    out = cplx.zeros((*x.shape[:-1], M * K + L - 1))
+    for t in range(L):
+        sl = zp[..., L - 1 - t : L - 1 - t + M * K + L - 1]
+        out = IQ(out.re + h[t] * sl.re, out.im + h[t] * sl.im)
+    delay = (L - 1) // 2
+    out = out[..., delay : delay + T]
+    # mix to channel center +channel/K
+    n = np.arange(out.shape[-1])
+    ang = 2 * np.pi * channel / K * n
+    mix = IQ(
+        jnp.asarray(np.cos(ang), jnp.float32),
+        jnp.asarray(np.sin(ang), jnp.float32),
+    )
+    return cplx.mul(out, cplx.broadcast_to(mix, out.shape))

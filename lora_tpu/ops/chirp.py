@@ -31,10 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _turns_to_iq(turns: jax.Array, ampl) -> jax.Array:
-    ang = (2 * np.pi) * turns
-    return jax.lax.complex(jnp.cos(ang) * ampl, jnp.sin(ang) * ampl)
+from . import cplx
+from .cplx import IQ
 
 
 def chirp_phase_nums(
@@ -94,18 +92,18 @@ def gen_chirp(
     ampl: float = 1.0,
     phase0_turns=0.0,
 ):
-    """One chirp symbol as complex64 IQ, matching the reference generator's
+    """One chirp symbol as planar IQ, matching the reference generator's
     waveform (ChirpGenerator.hpp:21-47) with analytically exact phase.
 
     phase0_turns: starting phase carry (turns) for phase continuity across
-    symbols.  Returns (iq[n_samples], end_phase_turns).
+    symbols.  Returns (IQ[n_samples], end_phase_turns).
     """
     if n_samples is None:
         n_samples = N * ovs
     turns, carry = chirp_phase_turns(s, n_samples, N, ovs, down)
     D = N * ovs * ovs
     phase0_turns = jnp.asarray(phase0_turns, jnp.float32)
-    iq = _turns_to_iq(turns + phase0_turns, jnp.float32(ampl))
+    iq = cplx.from_turns(turns + phase0_turns, jnp.float32(ampl))
     end = jnp.mod(phase0_turns + carry.astype(jnp.float32) / np.float32(D), 1.0)
     return iq, end
 
@@ -134,15 +132,16 @@ def _dechirp_turns_np(N: int, down: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _dechirp_table_np(N: int, down: bool) -> np.ndarray:
-    t = _dechirp_turns_np(N, down)
-    return np.exp(2j * np.pi * t).astype(np.complex64)
+def _dechirp_table_np(N: int, down: bool) -> tuple[np.ndarray, np.ndarray]:
+    t = 2 * np.pi * _dechirp_turns_np(N, down).astype(np.float64)
+    return np.cos(t).astype(np.float32), np.sin(t).astype(np.float32)
 
 
-def dechirp_table(N: int, down: bool = False) -> jax.Array:
-    """Unit-amplitude dechirp multiplier of length N (complex64).
+def dechirp_table(N: int, down: bool = False) -> IQ:
+    """Unit-amplitude dechirp multiplier of length N (planar IQ).
 
     down=False: multiplier that flattens *up*-chirps (data/preamble/sync).
     down=True:  multiplier that flattens *down*-chirps.
     """
-    return jnp.asarray(_dechirp_table_np(N, down))
+    re, im = _dechirp_table_np(N, down)
+    return IQ(jnp.asarray(re), jnp.asarray(im))

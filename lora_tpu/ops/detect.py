@@ -1,4 +1,4 @@
-"""Batched dechirp + FFT + argmax symbol detection.
+"""Batched dechirp + FFT + argmax symbol detection (planar complex).
 
 Reformulates the reference's per-symbol scalar path — dechirp multiply loop
 (LoRaDemod.cpp:157-166) feeding kissfft + argmax/power scan + fractional-bin
@@ -8,10 +8,10 @@ interpolation (LoRaDetector.hpp:29-64) — as one fused batched array op over
 folded into the dechirp multiply (a constant per-window phase does not
 affect |FFT|, so no cross-window rotator continuity is needed).
 
-The FFT runs either through XLA's native FFT or through an MXU-friendly
-Cooley-Tukey factorization (two small DFT matmuls + twiddles) — see
-lora_tpu/ops/fft.py; the matmul path keeps the whole detector on the MXU
-for the batch sizes this framework targets.
+All complex data is planar (ops/cplx.py) — the TPU runtime has no complex
+buffers.  The FFT runs through MXU matmuls (ops/fft.py) or, on TPU, the
+whole dechirp+FFT+argmax chain runs as one fused Pallas kernel
+(ops/pallas_detect.py) that keeps every intermediate in VMEM.
 """
 
 from __future__ import annotations
@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
 from . import fft as fft_ops
 from .chirp import dechirp_table
+from .cplx import IQ
 
 
 @jax.tree_util.register_dataclass
@@ -39,38 +41,29 @@ class DetectResult:
     mag2: Optional[jax.Array] = None  # float32 [..., N] |FFT|^2 (debug tap)
 
 
-def rotator(ferr, N: int, dtype=jnp.complex64) -> jax.Array:
+def rotator(ferr, N: int) -> IQ:
     """Fine-CFO derotator exp(-2j*pi*ferr*n/N); ferr in (fractional) bins,
     traced or static, broadcasting over leading axes."""
     n = jnp.arange(N, dtype=jnp.float32)
     ang = (-2 * np.pi / N) * jnp.asarray(ferr, jnp.float32)[..., None] * n
-    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(dtype)
+    return IQ(jnp.cos(ang), jnp.sin(ang))
 
 
-def dechirp(x: jax.Array, down: bool = False, ferr=None) -> jax.Array:
+def dechirp(x, down: bool = False, ferr=None) -> IQ:
     """Multiply sample windows [..., N] by the dechirp table (and optional
     fine-CFO derotator)."""
+    x = cplx.as_iq(x)
     N = x.shape[-1]
-    d = x * dechirp_table(N, down)
+    d = cplx.mul(x, cplx.broadcast_to(dechirp_table(N, down), x.shape))
     if ferr is not None:
-        d = d * rotator(ferr, N)
+        r = rotator(ferr, N)
+        d = cplx.mul(d, cplx.broadcast_to(r, d.shape))
     return d
 
 
-def detect(
-    dechirped: jax.Array,
-    want_mag2: bool = False,
-    fft_impl: str = "auto",
-) -> DetectResult:
-    """argmax(|FFT|^2) detection over dechirped windows [..., N].
-
-    Returns bin index, peak/noise powers in dB (normalized by 20*log10(N),
-    LoRaDetector.hpp:18,50-54) and the 3-point fractional-bin interpolation
-    (LoRaDetector.hpp:56-61).
-    """
-    N = dechirped.shape[-1]
-    spectrum = fft_ops.fft(dechirped, impl=fft_impl)
-    mag2 = jnp.real(spectrum) ** 2 + jnp.imag(spectrum) ** 2
+def _from_mag2(mag2: jax.Array, want_mag2: bool) -> DetectResult:
+    """Reductions of |FFT|^2 windows [..., N] into detector outputs."""
+    N = mag2.shape[-1]
     value = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
     peak2 = jnp.max(mag2, axis=-1)
     total = jnp.sum(mag2, axis=-1)
@@ -98,8 +91,24 @@ def detect(
     )
 
 
+def detect(
+    dechirped,
+    want_mag2: bool = False,
+    fft_impl: str = "auto",
+) -> DetectResult:
+    """argmax(|FFT|^2) detection over dechirped windows [..., N].
+
+    Returns bin index, peak/noise powers in dB (normalized by 20*log10(N),
+    LoRaDetector.hpp:18,50-54) and the 3-point fractional-bin interpolation
+    (LoRaDetector.hpp:56-61).
+    """
+    dechirped = cplx.as_iq(dechirped)
+    spectrum = fft_ops.fft(dechirped, impl=fft_impl)
+    return _from_mag2(cplx.mag2(spectrum), want_mag2)
+
+
 def dechirp_detect(
-    x: jax.Array,
+    x,
     down: bool = False,
     ferr=None,
     want_mag2: bool = False,

@@ -33,6 +33,8 @@ except ImportError:  # pragma: no cover
 
 from ..config import LoRaConfig
 from ..models.demodulator import demodulate, required_samples, DemodResult
+from ..ops import cplx
+from ..ops.cplx import IQ
 
 PREAMBLE_SYMBOLS = 10  # frame head before the sync word (LoRaMod.cpp:140-169)
 
@@ -52,28 +54,33 @@ def halo_exchange(
     """Extend each shard's block [..., T_local] to
     [..., left + T_local + right] with neighbour samples via ppermute.
 
-    With wrap=False (a linear, non-circular capture) shard 0's left margin
-    and the last shard's right halo are zeroed.  Requires left, right <=
-    T_local.
+    x may be any pytree of same-shaped arrays (e.g. planar IQ); the exchange
+    applies leafwise.  With wrap=False (a linear, non-circular capture)
+    shard 0's left margin and the last shard's right halo are zeroed.
+    Requires left, right <= T_local.
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    suffix = x[..., -left:] if left else x[..., :0]
-    prefix = x[..., :right] if right else x[..., :0]
-    if n == 1:
-        recv_l, recv_r = suffix, prefix
-    else:
-        # shard j's suffix travels right to j+1; prefix travels left to j-1
-        recv_l = jax.lax.ppermute(
-            suffix, axis_name, [(j, (j + 1) % n) for j in range(n)]
-        )
-        recv_r = jax.lax.ppermute(
-            prefix, axis_name, [((j + 1) % n, j) for j in range(n)]
-        )
-    if not wrap:
-        recv_l = jnp.where(idx == 0, 0, 1).astype(x.dtype) * recv_l
-        recv_r = jnp.where(idx == n - 1, 0, 1).astype(x.dtype) * recv_r
-    return jnp.concatenate([recv_l, x, recv_r], axis=-1)
+
+    def leaf(a):
+        suffix = a[..., -left:] if left else a[..., :0]
+        prefix = a[..., :right] if right else a[..., :0]
+        if n == 1:
+            recv_l, recv_r = suffix, prefix
+        else:
+            # shard j's suffix travels right to j+1; prefix left to j-1
+            recv_l = jax.lax.ppermute(
+                suffix, axis_name, [(j, (j + 1) % n) for j in range(n)]
+            )
+            recv_r = jax.lax.ppermute(
+                prefix, axis_name, [((j + 1) % n, j) for j in range(n)]
+            )
+        if not wrap:
+            recv_l = jnp.where(idx == 0, 0, 1).astype(a.dtype) * recv_l
+            recv_r = jnp.where(idx == n - 1, 0, 1).astype(a.dtype) * recv_r
+        return jnp.concatenate([recv_l, a, recv_r], axis=-1)
+
+    return jax.tree.map(leaf, x)
 
 
 def demodulate_stream(
@@ -84,7 +91,7 @@ def demodulate_stream(
 ) -> DemodResult:
     """Demodulate a bank of long captures sharded along time.
 
-    x: [B, T_global] complex64, B sharded over 'channel', T_global over
+    x: planar IQ [B, T_global], B sharded over 'channel', T_global over
     'time'.  Each time shard reports (at most) one frame whose preamble
     starts in its main region; t_sync/consumed are in global sample
     coordinates.  Callers that need every frame of a dense stream step the
@@ -95,6 +102,7 @@ def demodulate_stream(
     """
     if halo is None:
         halo = required_samples(cfg)
+    x = cplx.as_iq(x)
     L = left_margin(cfg)
     n_time = mesh.shape["time"]
     B, T = x.shape
@@ -154,7 +162,7 @@ def demodulate_stream(
     fn = shard_map(
         wrapped,
         mesh=mesh,
-        in_specs=P(("channel",), "time"),
+        in_specs=(IQ(P(("channel",), "time"), P(("channel",), "time")),),
         out_specs=out_specs,
         check_vma=False,
     )

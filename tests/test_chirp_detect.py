@@ -13,7 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from lora_tpu.ops import chirp, detect, fft
+from lora_tpu.ops import chirp, cplx, detect, fft
 
 GOLDEN = json.loads(
     (pathlib.Path(__file__).parent / "golden" / "golden.json").read_text()
@@ -41,7 +41,7 @@ def test_golden_chirp_waveforms(key, N, ovs, nn, s, down, phase0):
     iq, _end = chirp.gen_chirp(
         s, N, ovs, n_samples=nn, down=down, ampl=1.0, phase0_turns=phase0
     )
-    np.testing.assert_allclose(np.asarray(iq), ref, atol=2e-3)
+    np.testing.assert_allclose(cplx.to_complex(iq), ref, atol=2e-3)
 
 
 def test_chirp_phase_continuity():
@@ -49,7 +49,7 @@ def test_chirp_phase_continuity():
     # phase accumulator semantics (no phase jump at the boundary)
     iq1, end1 = chirp.gen_chirp(3, 64, ampl=1.0)
     iq2, _ = chirp.gen_chirp(9, 64, ampl=1.0, phase0_turns=end1)
-    seam = np.angle(np.asarray(iq2)[0] / np.asarray(iq1)[-1])
+    seam = np.angle(cplx.to_complex(iq2)[0] / cplx.to_complex(iq1)[-1])
     # instantaneous frequency is bounded by pi (one sample step)
     assert abs(seam) <= np.pi
 
@@ -80,7 +80,7 @@ def test_detector_snr_and_noise_floor(rng):
     N = 1024
     iq, _ = chirp.gen_chirp(100, N, ampl=1.0)
     noise = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
-    x = jnp.asarray(np.asarray(iq) + 0.1 * noise)
+    x = jnp.asarray(cplx.to_complex(iq) + 0.1 * noise)
     res = detect.dechirp_detect(x[None])
     assert int(res.value[0]) == 100
     snr = float(res.power[0] - res.noise[0])
@@ -97,7 +97,7 @@ def test_detector_fractional_bin():
     n = np.arange(N)
     iq, _ = chirp.gen_chirp(40, N, ampl=1.0)
     for frac in (-0.25, 0.25):
-        shifted = np.asarray(iq) * np.exp(2j * np.pi * frac * n / N)
+        shifted = cplx.to_complex(iq) * np.exp(2j * np.pi * frac * n / N)
         res = detect.dechirp_detect(jnp.asarray(shifted)[None])
         assert int(res.value[0]) == 40
         fi = float(res.f_index[0])
@@ -110,8 +110,8 @@ def test_fft_matmul_matches_xla(rng):
         x = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))).astype(
             np.complex64
         )
-        a = np.asarray(fft.fft(jnp.asarray(x), impl="matmul"))
-        b = np.asarray(fft.fft(jnp.asarray(x), impl="xla"))
+        a = cplx.to_complex(fft.fft(jnp.asarray(x), impl="matmul"))
+        b = cplx.to_complex(fft.fft(jnp.asarray(x), impl="xla"))
         np.testing.assert_allclose(a, b, atol=1e-2 * np.sqrt(n))
 
 
@@ -120,7 +120,7 @@ def test_rotator_shifts_peak():
     iq, _ = chirp.gen_chirp(10, N, ampl=1.0)
     n = np.arange(N)
     # apply a +2.0 bin CFO; derotating by ferr=2.0 restores the peak
-    cfo = np.asarray(iq) * np.exp(2j * np.pi * 2.0 * n / N)
+    cfo = cplx.to_complex(iq) * np.exp(2j * np.pi * 2.0 * n / N)
     res_raw = detect.dechirp_detect(jnp.asarray(cfo)[None])
     res_fix = detect.dechirp_detect(jnp.asarray(cfo)[None], ferr=2.0)
     assert int(res_raw.value[0]) == 12

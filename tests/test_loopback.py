@@ -87,8 +87,10 @@ def test_loopback_alternate_sync_word(rng):
     import jax.numpy as jnp
 
     sym = encoder.encode(jnp.asarray(payload), cfg)
+    from lora_tpu.ops import cplx
+
     iq = modulator.modulate(sym, cfg)
-    iq = jnp.pad(iq, ((0, 0), (0, demodulator.required_samples(cfg))))
+    iq = cplx.pad(iq, ((0, 0), (0, demodulator.required_samples(cfg))))
     other = cfg.replace(sync=0x4E)
     dem2 = demodulator.demodulate(iq, other)
     assert not bool(np.asarray(dem2.found)[0])

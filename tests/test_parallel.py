@@ -15,6 +15,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lora_tpu import api
 from lora_tpu.config import LoRaConfig
+from lora_tpu.ops import cplx
 from lora_tpu.models.demodulator import required_samples
 from lora_tpu.parallel import (
     make_mesh,
@@ -26,9 +27,11 @@ from lora_tpu.parallel import (
 
 
 def _frames(cfg, B, L, rng, T):
+    from lora_tpu.ops import cplx
+
     payload = rng.integers(0, 256, size=(B, L)).astype(np.uint8)
     iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
-    iq = jnp.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
+    iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
     return payload, iq
 
 
@@ -75,7 +78,7 @@ def test_time_sharded_stream_boundary_frames(time_ax, rng):
         t_local - 1024,
     ]
     bank = np.zeros((B, T), np.complex64)
-    fr = np.asarray(frame)
+    fr = cplx.to_complex(frame)
     for i, o in enumerate(offsets):
         bank[i, o : o + FL] = fr[i, : max(0, min(FL, T - o))]
 
