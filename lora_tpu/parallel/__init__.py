@@ -1,5 +1,6 @@
 from .mesh import make_mesh, channel_sharding, shard_demodulate, aggregate_metrics
 from .halo import halo_exchange, demodulate_stream
+from .channelize import channelize_stream
 
 __all__ = [
     "make_mesh",
@@ -8,4 +9,5 @@ __all__ = [
     "aggregate_metrics",
     "halo_exchange",
     "demodulate_stream",
+    "channelize_stream",
 ]

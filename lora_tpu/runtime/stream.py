@@ -1,0 +1,181 @@
+"""Host streaming runtime: long captures -> all frames, one device step at a
+time.
+
+The reference pulls samples through its demod FSM with data-dependent
+consume() strides, one symbol per scheduler callback (LoRaDemod.cpp:320).
+The TPU runtime instead slides a fixed demod window over each channel's
+stream: every device step demodulates one window per channel (finding at
+most one frame), then each channel's read pointer advances by that frame's
+`consumed` count, or by the safe no-frame stride.  Windows are gathered
+host-side per channel (pointers diverge across channels) and dispatched
+asynchronously, so the host prepares step k+1 while the device runs step k
+— the double-buffering role of the reference's custom buffer managers
+(LoRaMod.cpp:241-251, LoRaDemod.cpp:330-358).
+
+This is the carried per-channel state of SURVEY.md §5 "checkpoint/resume":
+`StreamDemodulator.offsets` (+ the ring contents) fully describe progress
+and can be serialized between runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import LoRaConfig
+from ..models.demodulator import demodulate, required_samples
+from ..models.decoder import decode, OK
+from ..ops import cplx
+from ..ops.cplx import IQ
+from ..parallel.halo import PREAMBLE_SYMBOLS
+
+
+@dataclasses.dataclass
+class Frame:
+    """One recovered frame."""
+
+    channel: int
+    t_start: int          # global sample index of the preamble start
+    symbols: np.ndarray   # int16 demodulated data symbols (count entries)
+    snr: float
+    power: float
+    freq_error: int
+    payload: Optional[bytes] = None  # set by decode_frames
+    status: Optional[int] = None
+
+
+class StreamDemodulator:
+    """Multi-frame demodulation over a bank of unbounded channel streams.
+
+    feed() planar sample blocks [B, n] (any n), then drain frames().
+    """
+
+    def __init__(self, cfg: LoRaConfig, channels: int):
+        self.cfg = cfg
+        self.B = channels
+        self.window = required_samples(cfg)
+        # no-frame stride keeps enough tail to re-see a preamble that starts
+        # near the window's end
+        self.stride = self.window - (PREAMBLE_SYMBOLS + 4) * cfg.N
+        assert self.stride > 0
+        self.offsets = np.zeros(channels, np.int64)  # global read pointers
+        self._base = 0  # global index of buf[:, 0]
+        self._re = np.zeros((channels, 0), np.float32)
+        self._im = np.zeros((channels, 0), np.float32)
+
+    # -- input ---------------------------------------------------------------
+    def feed(self, block) -> None:
+        """Append samples: IQ/complex [B, n] (host arrays)."""
+        if isinstance(block, IQ):
+            re, im = np.asarray(block.re), np.asarray(block.im)
+        else:
+            arr = np.asarray(block)
+            re, im = arr.real.astype(np.float32), arr.imag.astype(np.float32)
+        assert re.shape[0] == self.B
+        self._re = np.concatenate([self._re, re], axis=1)
+        self._im = np.concatenate([self._im, im], axis=1)
+
+    def _trim(self) -> None:
+        cut = int(self.offsets.min() - self._base)
+        if cut > 0:
+            self._re = self._re[:, cut:]
+            self._im = self._im[:, cut:]
+            self._base += cut
+
+    @property
+    def _end(self) -> int:
+        return self._base + self._re.shape[1]
+
+    def ready(self) -> bool:
+        """True if every channel has a full window buffered."""
+        return bool(np.all(self.offsets + self.window <= self._end))
+
+    # -- processing ----------------------------------------------------------
+    def step(self) -> list[Frame]:
+        """One device step: demodulate the current window of every channel."""
+        if not self.ready():
+            return []
+        W = self.window
+        idx = (self.offsets - self._base).astype(np.int64)
+        rows = np.arange(self.B)[:, None]
+        cols = idx[:, None] + np.arange(W)[None, :]
+        win = IQ(
+            jnp.asarray(self._re[rows, cols]), jnp.asarray(self._im[rows, cols])
+        )
+        dem = demodulate(win, self.cfg)
+        found = np.asarray(dem.found)
+        t_sync = np.asarray(dem.t_sync)
+        consumed = np.asarray(dem.consumed)
+        counts = np.asarray(dem.count)
+        symbols = np.asarray(dem.symbols)
+        snr = np.asarray(dem.snr)
+        power = np.asarray(dem.power)
+        ferr = np.asarray(dem.freq_error)
+
+        N = self.cfg.N
+        search = W - (PREAMBLE_SYMBOLS + 2 + 2 + 1 + self.cfg.mtu + 1) * N - N // 4
+        frames: list[Frame] = []
+        for b in range(self.B):
+            t_pre = int(t_sync[b]) - PREAMBLE_SYMBOLS * N  # window-relative
+            if found[b] and t_pre <= search:
+                frames.append(
+                    Frame(
+                        channel=b,
+                        t_start=int(self.offsets[b]) + t_pre,
+                        symbols=symbols[b, : counts[b]].copy(),
+                        snr=float(snr[b]),
+                        power=float(power[b]),
+                        freq_error=int(ferr[b]),
+                    )
+                )
+                self.offsets[b] += max(int(consumed[b]), 1)
+            elif found[b]:
+                # frame starts too late in the window for its payload to
+                # fit: re-aim the next window at the detected preamble
+                self.offsets[b] += max(t_pre, 1)
+            else:
+                self.offsets[b] += self.stride
+        self._trim()
+        return frames
+
+    def run(self) -> Iterator[Frame]:
+        """Drain every ready window."""
+        while self.ready():
+            yield from self.step()
+
+    def flush(self) -> list[Frame]:
+        """End of capture: zero-pad so trailing complete frames demodulate,
+        then drain.  (A frame whose payload extends past the real samples is
+        genuinely unrecoverable and is not reported.)"""
+        self.feed(
+            IQ(
+                np.zeros((self.B, self.window), np.float32),
+                np.zeros((self.B, self.window), np.float32),
+            )
+        )
+        return list(self.run())
+
+
+def decode_frames(frames: list[Frame], cfg: LoRaConfig) -> list[Frame]:
+    """Batch-decode recovered frames (pads symbol vectors to one length)."""
+    if not frames:
+        return frames
+    n = max(cfg.num_symbols(1), max(len(f.symbols) for f in frames))
+    sym = np.zeros((len(frames), n), np.int32)
+    for i, f in enumerate(frames):
+        sym[i, : len(f.symbols)] = f.symbols
+    res = decode(jnp.asarray(sym), cfg)
+    data = np.asarray(res.data)
+    off = np.asarray(res.offset)
+    length = np.asarray(res.length)
+    status = np.asarray(res.status)
+    for i, f in enumerate(frames):
+        f.status = int(status[i])
+        if f.status == OK:
+            o, l = int(off[i]), int(length[i])
+            f.payload = bytes(data[i, o : o + l].tolist())
+    return frames

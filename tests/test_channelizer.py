@@ -82,3 +82,26 @@ def test_lora_frame_through_channelizer(chan, rng):
     # adjacent channel: leakage is below the noise floor => no sync
     dem_adj = api.demodulate(y[(chan + 2) % K], cfg)
     assert not bool(np.asarray(dem_adj.found))
+
+
+def test_channelize_stream_sharded_matches_local(rng):
+    """Time-sharded channelizer + all_to_all corner-turn == one-shot result
+    (8-device CPU mesh, 4 time shards x 2 channel shards)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lora_tpu.parallel import make_mesh, channelize_stream
+
+    K, n_time = 16, 4
+    mesh = make_mesh(time=n_time)
+    T = K * 64 * n_time
+    B = 4
+    x = cplx.IQ(
+        jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+    )
+    want, _ = chz.channelize(x, K)
+    xs = jax.device_put(x, NamedSharding(mesh, P("channel", "time")))
+    got = channelize_stream(xs, K, mesh)
+    np.testing.assert_allclose(
+        cplx.to_complex(got), cplx.to_complex(want), atol=1e-5
+    )

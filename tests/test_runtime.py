@@ -1,0 +1,129 @@
+"""Streaming runtime: multi-frame recovery over long captures, native IQ
+ingest conversions, and the SPSC ring buffer."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lora_tpu import api
+from lora_tpu.config import LoRaConfig
+from lora_tpu.ops import cplx
+from lora_tpu.runtime import StreamDemodulator, decode_frames, iqio
+
+
+def _make_stream(cfg, payloads, gaps, rng, noise=0.0):
+    """One channel: frames at increasing offsets separated by `gaps`."""
+    chunks = []
+    pos = 0
+    starts = []
+    for p, g in zip(payloads, gaps):
+        iq = api.modulate(api.encode(jnp.asarray(p[None]), cfg), cfg)[0]
+        chunks.append(np.zeros(g, np.complex64))
+        pos += g
+        starts.append(pos)
+        chunks.append(cplx.to_complex(iq))
+        pos += iq.shape[-1]
+    chunks.append(np.zeros(4 * cfg.N, np.complex64))
+    x = np.concatenate(chunks)
+    if noise:
+        x = x + noise * (
+            rng.standard_normal(x.size) + 1j * rng.standard_normal(x.size)
+        ).astype(np.complex64)
+    return x, starts
+
+
+def test_stream_recovers_multiple_frames(rng):
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(8) + 2)
+    payloads = [rng.integers(0, 256, 8).astype(np.uint8) for _ in range(4)]
+    gaps = [700, 1500, 333, 2048]
+    x, starts = _make_stream(cfg, payloads, gaps, rng, noise=0.05)
+
+    sd = StreamDemodulator(cfg, channels=1)
+    frames = []
+    # feed in awkward chunk sizes to exercise buffering
+    for i in range(0, x.size, 5000):
+        sd.feed(x[None, i : i + 5000])
+        frames.extend(sd.run())
+    frames.extend(sd.flush())
+    assert len(frames) == 4, [f.t_start for f in frames]
+    for f, want in zip(frames, starts):
+        assert abs(f.t_start - want) <= 1
+    decode_frames(frames, cfg)
+    for f, p in zip(frames, payloads):
+        assert f.status == 0
+        assert f.payload == bytes(p.tolist())
+
+
+def test_stream_channels_diverge(rng):
+    """Channels with different frame timing advance independently."""
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    p0 = rng.integers(0, 256, 4).astype(np.uint8)
+    p1 = rng.integers(0, 256, 4).astype(np.uint8)
+    x0, _ = _make_stream(cfg, [p0, p0], [100, 4000], rng)
+    x1, _ = _make_stream(cfg, [p1], [9000], rng)
+    T = max(x0.size, x1.size)
+    bank = np.zeros((2, T), np.complex64)
+    bank[0, : x0.size] = x0
+    bank[1, : x1.size] = x1
+
+    sd = StreamDemodulator(cfg, channels=2)
+    sd.feed(bank)
+    frames = list(sd.run()) + sd.flush()
+    n0 = sum(1 for f in frames if f.channel == 0)
+    n1 = sum(1 for f in frames if f.channel == 1)
+    assert n0 == 2 and n1 == 1
+    decode_frames(frames, cfg)
+    assert all(f.status == 0 for f in frames)
+
+
+def test_iq_convert_formats():
+    n = 64
+    rng = np.random.default_rng(5)
+    for fmt, dtype, scale in [
+        ("cs8", np.int8, 1 / 128),
+        ("cu8", np.uint8, 1 / 128),
+        ("cs16", np.int16, 1 / 32768),
+        ("cf32", np.float32, 1.0),
+    ]:
+        if fmt == "cu8":
+            raw = rng.integers(0, 256, 2 * n).astype(dtype)
+            want = (raw.astype(np.float32) - 127.5) * scale
+        elif fmt == "cf32":
+            raw = rng.standard_normal(2 * n).astype(dtype)
+            want = raw.astype(np.float32)
+        else:
+            info = np.iinfo(dtype)
+            raw = rng.integers(info.min, info.max, 2 * n).astype(dtype)
+            want = raw.astype(np.float32) * scale
+        re, im = iqio.convert(raw.tobytes(), fmt)
+        np.testing.assert_allclose(re, want[0::2], rtol=1e-6)
+        np.testing.assert_allclose(im, want[1::2], rtol=1e-6)
+    # round-trip planar -> interleaved
+    re = np.arange(8, dtype=np.float32)
+    im = -re
+    inter = iqio.interleave_cf32(re, im)
+    r2, i2 = iqio.convert(inter.tobytes(), "cf32")
+    np.testing.assert_array_equal(r2, re)
+    np.testing.assert_array_equal(i2, im)
+
+
+def test_iq_ring_wraparound():
+    ring = iqio.IqRing(100)
+    wrote = ring.write(np.arange(60, dtype=np.float32), np.zeros(60, np.float32))
+    assert wrote == 60
+    re, _ = ring.read(50)
+    np.testing.assert_array_equal(re, np.arange(50, dtype=np.float32))
+    # wrap: head at 60, tail at 50, write 80 -> fits 90? capacity 100 - 10 = 90
+    wrote = ring.write(
+        np.arange(60, 140, dtype=np.float32), np.zeros(80, np.float32)
+    )
+    assert wrote == 80
+    assert ring.available == 90
+    re, _ = ring.read(90)
+    np.testing.assert_array_equal(re, np.arange(50, 140, dtype=np.float32))
+    # overrun accounting
+    ring2 = iqio.IqRing(10)
+    w = ring2.write(np.ones(25, np.float32), np.ones(25, np.float32))
+    assert w == 10 and ring2.dropped == 15
