@@ -97,6 +97,8 @@ def aggregate_metrics(dem: DemodResult, statuses: Optional[jax.Array] = None):
         "symbols": jnp.sum(dem.count),
     }
     if statuses is not None:
-        out["decoded_ok"] = jnp.sum((statuses == 0).astype(jnp.int32))
-        out["dropped"] = jnp.sum((statuses != 0).astype(jnp.int32))
+        # only synced frames are decode candidates; a non-synced row's
+        # zero-symbol decode is meaningless
+        out["decoded_ok"] = jnp.sum((dem.found & (statuses == 0)).astype(jnp.int32))
+        out["dropped"] = jnp.sum((dem.found & (statuses != 0)).astype(jnp.int32))
     return out
