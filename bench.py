@@ -34,8 +34,9 @@ def main() -> None:
 
     dev = jax.devices()[0]
     plat = dev.platform
-    # channel-bank size: ~0.5 GB of input on an accelerator, small on CPU CI
-    B = 1024 if plat != "cpu" else 8
+    # channel-bank size: ~2.7 GB of input on an accelerator (amortizes the
+    # fixed dispatch overhead), small on CPU CI
+    B = 4096 if plat != "cpu" else 8
 
     from lora_tpu.ops import cplx
 
@@ -63,7 +64,8 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(iq)
-    jax.block_until_ready(out)
+        np.asarray(out[2])  # host readback: the tunneled TPU runtime does
+        # not reliably await device completion in block_until_ready
     dt = time.perf_counter() - t0
 
     samples = B * T * iters

@@ -111,13 +111,20 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     t0 = jnp.clip(t0, 0, T - 1).astype(jnp.int32)
 
     # ---- 2. FRAMESYNC scan on the aligned grid -----------------------------
+    # One gather pulls every window the scan (and the downchirp stage) can
+    # touch; the scan then row-indexes a small [n_rows, N] block instead of
+    # issuing two full-stream gathers per step (TPU gathers are the
+    # bottleneck, not the detects).
+    n_rows = MAX_SYNC_SEARCH + 4
+    xs = cplx.dynamic_slice(x, (t0,), (n_rows * N,)).reshape(n_rows, N)
+
     def sync_step(carry, k):
         state, ferr, prev_q, k_sync = carry
-        xk = cplx.dynamic_slice(x, (t0 + k * N,), (N,))
+        xk = xs[k]
         dk = det_ops.dechirp_detect(xk, ferr=ferr)
         squelched = (dk.power - dk.noise) < thresh
         q = (dk.value + 4) // 8
-        xk1 = cplx.dynamic_slice(x, (t0 + (k + 1) * N,), (N,))
+        xk1 = xs[k + 1]
         dk1 = det_ops.dechirp_detect(xk1, ferr=ferr)
         q1 = (dk1.value + 4) // 8
         searching = state == 0
@@ -147,8 +154,8 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
 
     # ---- 3. downchirps: coarse CFO ------------------------------------------
     t_dc = t0 + (k_sync + 2) * N
-    x_dc0 = cplx.dynamic_slice(x, (t_dc,), (N,))
-    x_dc1 = cplx.dynamic_slice(x, (t_dc + N,), (N,))
+    x_dc0 = xs[k_sync + 2]
+    x_dc1 = xs[k_sync + 3]
     ddc0 = det_ops.dechirp_detect(x_dc0, down=True, ferr=ferr)
     ddc1 = det_ops.dechirp_detect(x_dc1, down=True, ferr=ferr)
 
@@ -168,8 +175,13 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     xd = cplx.dynamic_slice(x, (data_start,), (cfg.mtu * N,)).reshape(
         cfg.mtu, N
     )
-    dec = det_ops.dechirp(xd, ferr=fine_total)
-    dd = det_ops.detect(dec, want_mag2=debug)
+    if debug:  # keep the dechirped tap + spectra (the reference's dec/fft
+        # debug ports); the fast path fuses everything in one kernel
+        dec = det_ops.dechirp(xd, ferr=fine_total)
+        dd = det_ops.detect(dec, want_mag2=True)
+    else:
+        dec = None
+        dd = det_ops.dechirp_detect(xd, ferr=fine_total)
     snr_d = dd.power - dd.noise
     squelched_d = snr_d < thresh
     any_sq = jnp.any(squelched_d)

@@ -114,5 +114,21 @@ def dechirp_detect(
     want_mag2: bool = False,
     fft_impl: str = "auto",
 ) -> DetectResult:
-    """Fused dechirp + detect over sample windows [..., N]."""
+    """Fused dechirp + detect over sample windows [..., N].
+
+    On TPU, batched window stacks route to the fused Pallas kernel
+    (ops/pallas_detect.py, ~2x the XLA matmul path); single windows (the
+    demodulator's sequential sync scan) and debug taps stay on XLA.
+    """
+    x = cplx.as_iq(x)
+    if fft_impl in ("auto", "pallas") and not want_mag2:
+        from . import pallas_detect
+
+        use = fft_impl == "pallas" or (
+            jax.default_backend() == "tpu"
+            and x.ndim >= 2
+            and pallas_detect.supported(x.shape[-1])
+        )
+        if use:
+            return pallas_detect.dechirp_detect_pallas(x, down, ferr)
     return detect(dechirp(x, down, ferr), want_mag2=want_mag2, fft_impl=fft_impl)

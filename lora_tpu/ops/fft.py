@@ -56,11 +56,10 @@ def _twiddle(n1: int, n2: int) -> IQ:
 
 
 def _split(n: int) -> tuple[int, int]:
-    """n = n1*n2 with n1 the larger power-of-two factor <= 128."""
-    n1 = 1
-    while n1 * n1 < n:
-        n1 *= 2
-    n1 = min(n1, 128)
+    """n = n1*n2 with n1 = 128: the first-stage DFT contraction matches the
+    MXU's 128-wide systolic dimension exactly, and the second stage (n2 <=
+    32) carries ~n1/n2 x fewer FLOPs, so its smaller contraction is cheap."""
+    n1 = min(128, n)
     return n1, n // n1
 
 

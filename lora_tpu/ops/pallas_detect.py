@@ -11,11 +11,12 @@ tile of TW windows at a time, keeping every intermediate in VMEM:
                 MXU matmuls, |.|^2 + masked reductions on the VPU
     HBM writes: 4 scalars per window
 
-The DFT is a single direct matrix per window tile (N <= 1024): ~N/log N
-more FLOPs than an FFT but perfectly MXU-shaped, and the arithmetic
-intensity (~N flops/byte) keeps it compute-bound far above the HBM
-roofline a split-radix implementation would also hit.  For SF 11/12
-(N = 2048/4096) the XLA four-step matmul path (ops/fft.py) is used instead.
+The DFT runs as a direct matrix for N <= 256 (contraction 128/256 is
+already MXU-shaped) and as the four-step Cooley-Tukey factorization
+N = 128 * n2 for N in [512, 4096] — the same factorization as the XLA path
+(ops/fft.py) but with the inter-stage corner-turns staying in VMEM instead
+of materializing transposed copies in HBM, which is where the XLA path
+spends most of its time.
 
 The fine-CFO derotator exp(-2j*pi*ferr*n/N) is evaluated analytically on
 the VPU inside the kernel (the reference's N x 128 phasor table,
@@ -36,46 +37,38 @@ from . import cplx
 from .chirp import _dechirp_table_np
 from .cplx import IQ
 
-MAX_DIRECT_N = 1024
+MAX_DIRECT_N = 256
+MAX_N = 4096
 _LOG10 = float(np.log(10.0))
 
 
 def _tile_windows(N: int) -> int:
-    return max(8, min(128, (1 << 20) // (N * 4)))
+    # keep ~6-8 [TW, N] f32 temporaries + double-buffered input tiles
+    # comfortably under the ~16 MB VMEM budget
+    return max(8, min(128, (1 << 19) // (N * 4)))
 
 
-def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex):
-    TW, N = xr.shape
-    # --- dechirp multiply (VPU) ------------------------------------------
-    yr = xr[:] * cr[:] - xi[:] * ci[:]
-    yi = xr[:] * ci[:] + xi[:] * cr[:]
-    # --- fine-CFO derotator, analytic ------------------------------------
-    n = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1).astype(jnp.float32)
-    ang = (-2.0 * np.pi / N) * fe[:] * n
-    rr = jnp.cos(ang)
-    ri = jnp.sin(ang)
-    zr = yr * rr - yi * ri
-    zi = yr * ri + yi * rr
-    # --- DFT via MXU: S = Z @ F (complex = 4 real matmuls) ----------------
-    sr = jnp.dot(zr, fr[:], preferred_element_type=jnp.float32) - jnp.dot(
-        zi, fi[:], preferred_element_type=jnp.float32
-    )
-    si = jnp.dot(zr, fi[:], preferred_element_type=jnp.float32) + jnp.dot(
-        zi, fr[:], preferred_element_type=jnp.float32
-    )
-    mag2 = sr * sr + si * si
-    # --- peak search + power accounting (VPU reductions) ------------------
-    peak2 = jnp.max(mag2, axis=1, keepdims=True)
-    total = jnp.sum(mag2, axis=1, keepdims=True)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1)
-    val = jnp.min(
-        jnp.where(mag2 == peak2, bins, N), axis=1, keepdims=True
-    )  # first max, as the reference's scan (LoRaDetector.hpp:36-48)
+def _finish(mag2, bins, N, value, power, noise, findex):
+    """Shared peak-search epilogue over mag2 with a bin-index map `bins`
+    (any trailing layout; reductions collapse every axis but the first)."""
+    axes = tuple(range(1, mag2.ndim))
+
+    def red(op, v):
+        for ax in sorted(axes, reverse=True):
+            v = op(v, axis=ax, keepdims=True)
+        return v.reshape(v.shape[0], 1)
+
+    peak2 = red(jnp.max, mag2)
+    total = red(jnp.sum, mag2)
+    pk = peak2.reshape(peak2.shape[0], *([1] * (mag2.ndim - 1)))
+    val = red(jnp.min, jnp.where(mag2 == pk, bins, N))
     lbin = jnp.where(val == 0, N - 1, val - 1)
     rbin = jnp.where(val == N - 1, 0, val + 1)
+    lb = lbin.reshape(pk.shape)
+    rb = rbin.reshape(pk.shape)
     mag = jnp.sqrt(mag2)
-    left = jnp.sum(jnp.where(bins == lbin, mag, 0.0), axis=1, keepdims=True)
-    right = jnp.sum(jnp.where(bins == rbin, mag, 0.0), axis=1, keepdims=True)
+    left = red(jnp.sum, jnp.where(bins == lb, mag, 0.0))
+    right = red(jnp.sum, jnp.where(bins == rb, mag, 0.0))
 
     fund = jnp.sqrt(peak2)
     noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
@@ -88,30 +81,175 @@ def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex):
     findex[:] = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
 
 
-@functools.partial(jax.jit, static_argnames=("down", "interpret"))
-def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool):
+def _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr):
+    TW, N = xr.shape
+    yr = xr[:] * cr[:] - xi[:] * ci[:]
+    yi = xr[:] * ci[:] + xi[:] * cr[:]
+    if not has_ferr:  # static: no CFO input, skip 2N transcendentals/window
+        return yr, yi
+    n = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1).astype(jnp.float32)
+    ang = (-2.0 * np.pi / N) * fe[:] * n
+    rr = jnp.cos(ang)
+    ri = jnp.sin(ang)
+    return yr * rr - yi * ri, yr * ri + yi * rr
+
+
+def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
+            *, has_ferr=True):
+    """Direct-DFT variant (N <= 256): S = Z @ F, one MXU matmul pair."""
+    TW, N = xr.shape
+    zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
+    dot = lambda a, b: jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+    sr = dot(zr, fr) - dot(zi, fi)
+    si = dot(zr, fi) + dot(zi, fr)
+    mag2 = sr * sr + si * si
+    bins = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1)
+    _finish(mag2, bins, N, value, power, noise, findex)
+
+
+def _kernel4(
+    xr, xi, cr, ci, fe, f1r, f1i, twr, twi,
+    value, power, noise, findex, *, w2, has_ferr=True,
+):
+    """Four-step variant (512 <= N <= 4096): N = n1*n2, n1 = 128 minor.
+
+    Decimation x[j2*n1 + j1] = A[j2, j1]:
+        X[k1*n2 + k2] = sum_j1 Wn1[j1,k1] * tw[j1,k2] * G[j1,k2],
+        G[j1,k2]      = sum_j2 A[j2,j1] * Wn2[j2,k2].
+    Mosaic has no minor-dim-splitting reshapes or 3D contractions, so the
+    kernel stays strictly 2D: for each output group k2 (static unroll),
+    stage 1 is an n2-term scalar-weighted accumulation of the contiguous
+    [TW, 128] sample slices (VPU), and stage 2 is one [TW,128] x [128,128]
+    complex matmul (MXU).  Group k2 holds bins k1*n2 + k2; the peak search
+    combines across groups without ever materializing the spectrum in HBM.
+    """
+    TW, N = xr.shape
+    n1 = 128
+    n2 = N // n1
+    w2r, w2i = w2  # [n2, n2] numpy: stage-1 weights become python constants
+    zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
+    dot = lambda a, b: jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (TW, n1), 1)
+
+    mags = []
+    peak2 = jnp.full((TW, 1), -1.0, jnp.float32)
+    total = jnp.zeros((TW, 1), jnp.float32)
+    for k2 in range(n2):
+        gr = jnp.zeros((TW, n1), jnp.float32)
+        gi = jnp.zeros((TW, n1), jnp.float32)
+        for j2 in range(n2):
+            ar = zr[:, j2 * n1 : (j2 + 1) * n1]
+            ai = zi[:, j2 * n1 : (j2 + 1) * n1]
+            wr = float(w2r[j2, k2])
+            wi = float(w2i[j2, k2])
+            gr = gr + (ar * wr - ai * wi)
+            gi = gi + (ar * wi + ai * wr)
+        # twiddle row tw[:, k2] (passed as [n2, n1] table rows)
+        tr = twr[k2, :][None, :]
+        ti = twi[k2, :][None, :]
+        hr = gr * tr - gi * ti
+        hi = gr * ti + gi * tr
+        sr = dot(hr, f1r) - dot(hi, f1i)
+        si = dot(hr, f1i) + dot(hi, f1r)
+        m2 = sr * sr + si * si
+        mags.append(m2)
+        peak2 = jnp.maximum(peak2, jnp.max(m2, axis=1, keepdims=True))
+        total = total + jnp.sum(m2, axis=1, keepdims=True)
+
+    val = jnp.full((TW, 1), N, jnp.int32)
+    for k2 in range(n2):
+        bins_g = k1 * n2 + k2
+        val = jnp.minimum(
+            val,
+            jnp.min(
+                jnp.where(mags[k2] == peak2, bins_g, N), axis=1, keepdims=True
+            ),
+        )
+    lbin = jnp.where(val == 0, N - 1, val - 1)
+    rbin = jnp.where(val == N - 1, 0, val + 1)
+    left = jnp.zeros((TW, 1), jnp.float32)
+    right = jnp.zeros((TW, 1), jnp.float32)
+    for k2 in range(n2):
+        bins_g = k1 * n2 + k2
+        mag = jnp.sqrt(mags[k2])
+        left = left + jnp.sum(
+            jnp.where(bins_g == lbin, mag, 0.0), axis=1, keepdims=True
+        )
+        right = right + jnp.sum(
+            jnp.where(bins_g == rbin, mag, 0.0), axis=1, keepdims=True
+        )
+
+    fund = jnp.sqrt(peak2)
+    noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
+    scale = jnp.float32(20.0 * np.log10(N))
+    db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
+    denom = 2.0 * fund - right - left
+    value[:] = val
+    power[:] = db(fund)
+    noise[:] = db(noise_amp)
+    findex[:] = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
+
+
+@functools.partial(jax.jit, static_argnames=("down", "interpret", "has_ferr"))
+def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
+                 has_ferr: bool = True):
     """x: IQ [M, N] dechirp windows, ferr: f32 [M]; M % TW == 0."""
     M, N = x.shape
     TW = _tile_windows(N)
     cre, cim = _dechirp_table_np(N, down)
-    from .fft import _dft_matrix_np
+    from .fft import _dft_matrix_np, _twiddle_np
 
-    fre, fim = _dft_matrix_np(N)
     grid = (M // TW,)
     row = lambda i: (i, 0)
     const = lambda i: (0, 0)
+    cspec = lambda shape: pl.BlockSpec(
+        shape, const, memory_space=pltpu.VMEM
+    )
+    common_in = [
+        pl.BlockSpec((TW, N), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, N), row, memory_space=pltpu.VMEM),
+        cspec((1, N)),
+        cspec((1, N)),
+        pl.BlockSpec((TW, 1), row, memory_space=pltpu.VMEM),
+    ]
+    common_args = [
+        x.re,
+        x.im,
+        jnp.asarray(cre)[None],
+        jnp.asarray(cim)[None],
+        ferr[:, None].astype(jnp.float32),
+    ]
+    if N <= MAX_DIRECT_N:
+        kernel = functools.partial(_kernel, has_ferr=has_ferr)
+        fre, fim = _dft_matrix_np(N)
+        in_specs = common_in + [cspec((N, N)), cspec((N, N))]
+        args = common_args + [jnp.asarray(fre), jnp.asarray(fim)]
+        flops = 4 * 2 * M * N * N
+    else:
+        n1 = 128
+        n2 = N // n1
+        f1re, f1im = _dft_matrix_np(n1)
+        kernel = functools.partial(
+            _kernel4, w2=_dft_matrix_np(n2), has_ferr=has_ferr
+        )
+        twre, twim = _twiddle_np(n2, n1)  # T[k2, j1] = exp(-2pi i j1 k2 / N)
+        in_specs = common_in + [
+            cspec((n1, n1)),
+            cspec((n1, n1)),
+            cspec((n2, n1)),
+            cspec((n2, n1)),
+        ]
+        args = common_args + [
+            jnp.asarray(f1re),
+            jnp.asarray(f1im),
+            jnp.asarray(twre),
+            jnp.asarray(twim),
+        ]
+        flops = 4 * 2 * M * N * (n1 + n2)
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TW, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TW, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TW, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), const, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TW, 1), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((TW, 1), row, memory_space=pltpu.VMEM),
@@ -128,25 +266,17 @@ def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool):
             vmem_limit_bytes=14 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * 2 * M * N * N,
-            bytes_accessed=M * N * 8 + (M // TW) * N * N * 8 + M * 16,
+            flops=flops,
+            bytes_accessed=M * N * 8 + M * 16,
             transcendentals=3 * M * N,
         ),
         interpret=interpret,
-    )(
-        x.re,
-        x.im,
-        jnp.asarray(cre)[None],
-        jnp.asarray(cim)[None],
-        ferr[:, None].astype(jnp.float32),
-        jnp.asarray(fre),
-        jnp.asarray(fim),
-    )
+    )(*args)
     return out
 
 
 def supported(N: int) -> bool:
-    return N <= MAX_DIRECT_N and (N & (N - 1)) == 0
+    return N <= MAX_N and (N & (N - 1)) == 0 and (N <= 256 or N >= 512)
 
 
 def dechirp_detect_pallas(
@@ -159,9 +289,10 @@ def dechirp_detect_pallas(
     x = cplx.as_iq(x)
     *lead, N = x.shape
     if not supported(N):
-        raise ValueError(f"pallas detector supports N<=1024 pow2, got {N}")
+        raise ValueError(f"pallas detector supports pow2 N<={MAX_N}, got {N}")
     M = int(np.prod(lead)) if lead else 1
     xf = x.reshape(M, N)
+    has_ferr = ferr is not None
     if ferr is None:
         fe = jnp.zeros((M,), jnp.float32)
     else:
@@ -173,7 +304,9 @@ def dechirp_detect_pallas(
     if pad:
         xf = cplx.pad(xf, ((0, pad), (0, 0)))
         fe = jnp.pad(fe, (0, pad))
-    value, power, noise, findex = _detect_flat(xf, fe, down, interpret)
+    value, power, noise, findex = _detect_flat(
+        xf, fe, down, interpret, has_ferr
+    )
 
     def shp(a):
         a = a[:M, 0]

@@ -1,8 +1,11 @@
 from .mesh import make_mesh, channel_sharding, shard_demodulate, aggregate_metrics
 from .halo import halo_exchange, demodulate_stream
 from .channelize import channelize_stream
+from .dispatch import ChannelDispatcher, GroupResult
 
 __all__ = [
+    "ChannelDispatcher",
+    "GroupResult",
     "make_mesh",
     "channel_sharding",
     "shard_demodulate",

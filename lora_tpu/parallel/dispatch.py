@@ -1,0 +1,104 @@
+"""Heterogeneous channel-group dispatcher (the EP analogue, SURVEY.md §2.2).
+
+A deployment monitors channels with mixed (SF, BW, CR, sync) settings.  One
+XLA program cannot mix symbol sizes (static shapes), so channels route
+host-side into per-config groups — each group compiles once and runs as one
+batched demodulate — and results map back to the caller's channel ids.
+This is the moral equivalent of expert-parallel token routing: group =
+expert, channel = token, with capacity padding to the group's batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import LoRaConfig
+from ..models.demodulator import demodulate, required_samples, DemodResult
+from ..models.decoder import decode
+from ..ops import cplx
+from ..ops.cplx import IQ
+
+
+@dataclasses.dataclass
+class GroupResult:
+    """Demod/decode results for one channel (see DemodResult/DecodeResult)."""
+
+    channel: int
+    cfg: LoRaConfig
+    found: bool
+    symbols: np.ndarray
+    snr: float
+    status: int | None = None
+    payload: bytes | None = None
+
+
+class ChannelDispatcher:
+    """Route per-channel sample streams to per-config batched programs.
+
+    configs: one LoRaConfig per channel.  Streams may have per-channel
+    lengths; each group pads to its own (required_samples, max length) so a
+    group is exactly one jit cache entry.
+    """
+
+    def __init__(self, configs: Sequence[LoRaConfig]):
+        self.configs = list(configs)
+        self.groups: dict[LoRaConfig, list[int]] = {}
+        for ch, cfg in enumerate(self.configs):
+            self.groups.setdefault(cfg, []).append(ch)
+
+    def run(self, streams: Sequence, with_decode: bool = True) -> list[GroupResult]:
+        """streams: per-channel IQ/complex 1-D arrays (host).
+
+        Returns one GroupResult per channel, in channel order.
+        """
+        if len(streams) != len(self.configs):
+            raise ValueError("one stream per configured channel required")
+        out: list[GroupResult | None] = [None] * len(self.configs)
+        for cfg, members in self.groups.items():
+            need = required_samples(cfg)
+            T = max(need, max(np.shape(streams[ch])[-1] if not isinstance(
+                streams[ch], IQ) else streams[ch].shape[-1] for ch in members))
+            bank_re = np.zeros((len(members), T), np.float32)
+            bank_im = np.zeros((len(members), T), np.float32)
+            for i, ch in enumerate(members):
+                s = streams[ch]
+                if isinstance(s, IQ):
+                    re, im = np.asarray(s.re), np.asarray(s.im)
+                else:
+                    arr = np.asarray(s)
+                    re, im = arr.real.astype(np.float32), arr.imag.astype(
+                        np.float32
+                    )
+                bank_re[i, : re.shape[-1]] = re
+                bank_im[i, : im.shape[-1]] = im
+            dem = demodulate(IQ(jnp.asarray(bank_re), jnp.asarray(bank_im)), cfg)
+            found = np.asarray(dem.found)
+            counts = np.asarray(dem.count)
+            symbols = np.asarray(dem.symbols)
+            snr = np.asarray(dem.snr)
+            statuses = payloads = None
+            if with_decode:
+                dec = decode(dem.symbols.astype(jnp.int32), cfg)
+                statuses = np.asarray(dec.status)
+                data = np.asarray(dec.data)
+                off = np.asarray(dec.offset)
+                length = np.asarray(dec.length)
+            for i, ch in enumerate(members):
+                r = GroupResult(
+                    channel=ch,
+                    cfg=cfg,
+                    found=bool(found[i]),
+                    symbols=symbols[i, : counts[i]].copy(),
+                    snr=float(snr[i]),
+                )
+                if with_decode and found[i]:
+                    r.status = int(statuses[i])
+                    if r.status == 0:
+                        o, l = int(off[i]), int(length[i])
+                        r.payload = bytes(data[i, o : o + l].tolist())
+                out[ch] = r
+        return out  # type: ignore[return-value]

@@ -147,6 +147,29 @@ class StreamDemodulator:
         while self.ready():
             yield from self.step()
 
+    # -- checkpoint / resume (SURVEY.md §5) ------------------------------------
+    def save_state(self, path: str) -> None:
+        """Serialize progress: read pointers + buffered samples.  Together
+        with the (static) config this fully describes the stream position —
+        the reference has no equivalent (its demod state dies with the
+        process, LoRaDemod.cpp:139-143)."""
+        np.savez(
+            path,
+            offsets=self.offsets,
+            base=np.int64(self._base),
+            re=self._re,
+            im=self._im,
+        )
+
+    def load_state(self, path: str) -> None:
+        z = np.load(path)
+        if z["re"].shape[0] != self.B:
+            raise ValueError("checkpoint channel count mismatch")
+        self.offsets = z["offsets"].copy()
+        self._base = int(z["base"])
+        self._re = z["re"].copy()
+        self._im = z["im"].copy()
+
     def flush(self) -> list[Frame]:
         """End of capture: zero-pad so trailing complete frames demodulate,
         then drain.  (A frame whose payload extends past the real samples is

@@ -1,0 +1,65 @@
+"""Heterogeneous channel dispatcher + stream checkpoint/resume."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lora_tpu import api
+from lora_tpu.config import LoRaConfig
+from lora_tpu.ops import cplx
+from lora_tpu.parallel import ChannelDispatcher
+
+
+def _frame(cfg, payload, lead=0, tail=256):
+    iq = api.modulate(api.encode(jnp.asarray(payload[None]), cfg), cfg)[0]
+    x = cplx.to_complex(iq)
+    return np.concatenate(
+        [np.zeros(lead, np.complex64), x, np.zeros(tail, np.complex64)]
+    )
+
+
+def test_mixed_sf_channel_groups(rng):
+    cfgs = []
+    streams = []
+    payloads = []
+    plan = [(7, "4/8", 0), (9, "4/5", 133), (7, "4/8", 57), (8, "4/7", 301),
+            (9, "4/5", 12), (7, "4/8", 999)]
+    for sf, cr, lead in plan:
+        cfg = LoRaConfig(sf=sf, cr=cr, ampl=1.0)
+        cfg = cfg.replace(mtu=cfg.num_symbols(6) + 2)
+        p = rng.integers(0, 256, 6).astype(np.uint8)
+        cfgs.append(cfg)
+        payloads.append(p)
+        streams.append(_frame(cfg, p, lead=lead))
+    disp = ChannelDispatcher(cfgs)
+    assert len(disp.groups) == 3  # three distinct configs
+    res = disp.run(streams)
+    assert [r.channel for r in res] == list(range(6))
+    for r, p in zip(res, payloads):
+        assert r.found and r.status == 0
+        assert r.payload == bytes(p.tolist())
+
+
+def test_stream_checkpoint_resume(tmp_path, rng):
+    from lora_tpu.runtime import StreamDemodulator, decode_frames
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    p = rng.integers(0, 256, 4).astype(np.uint8)
+    x = _frame(cfg, p, lead=5000, tail=8000)
+
+    # run A: feed half, checkpoint, feed rest
+    a = StreamDemodulator(cfg, channels=1)
+    a.feed(x[None, : x.size // 2])
+    frames_a = list(a.run())
+    ck = tmp_path / "state.npz"
+    a.save_state(str(ck))
+
+    b = StreamDemodulator(cfg, channels=1)
+    b.load_state(str(ck))
+    b.feed(x[None, x.size // 2 :])
+    frames_b = frames_a + list(b.run()) + b.flush()
+    decode_frames(frames_b, cfg)
+    assert len(frames_b) == 1
+    assert frames_b[0].payload == bytes(p.tolist())
+    assert abs(frames_b[0].t_start - 5000) <= 1
