@@ -47,6 +47,10 @@ class LoRaConfig:
     sync: int = 0x12
     ovs: int = 1
     padding: int = 1
+    # TX preamble upchirps.  The reference modulator hardcodes 10
+    # (LoRaMod.cpp:135); real LoRa radios configure 6..65535, and the
+    # demodulator's run-end alignment search locks whatever the length.
+    preamble_symbols: int = 10
     ampl: float = 0.3
     thresh: float = -30.0
     mtu: int = 256
@@ -65,6 +69,8 @@ class LoRaConfig:
             raise ValueError(f"invalid oversampling ratio {self.ovs}")
         if self.PPM > self.sf:
             raise ValueError("failed check: PPM <= SF")
+        if self.preamble_symbols < 6:
+            raise ValueError("preamble must be at least 6 symbols")
 
     # -- derived static quantities ------------------------------------------
     @property
@@ -100,10 +106,11 @@ class LoRaConfig:
         return N_HEADER_SYMBOLS + (ncw // self.PPM - 1) * (4 + self.rdd)
 
     def frame_samples(self, num_symbols: int) -> int:
-        """TX samples for a frame: 10 preamble + 2 sync + 2 down + 1/4 down
+        """TX samples for a frame: preamble + 2 sync + 2 down + 1/4 down
         + data + padding (LoRaMod frame FSM, LoRaMod.cpp:140-229)."""
         NN = self.NN
-        return NN * (10 + 2 + 2) + NN // 4 + NN * num_symbols + NN * self.padding
+        head = NN * (self.preamble_symbols + 2 + 2) + NN // 4
+        return head + NN * num_symbols + NN * self.padding
 
     def replace(self, **kw) -> "LoRaConfig":
         return dataclasses.replace(self, **kw)

@@ -66,6 +66,8 @@ class DemodResult:
     snr: jax.Array         # float32 [...] dB (signal `snr`)
     t_sync: jax.Array      # int32 [...] sample index of the sync-word symbol
     consumed: jax.Array    # int32 [...] samples consumed through the packet
+    found_pre: Optional[jax.Array] = None   # bool [...] coarse preamble hit
+    t_candidate: Optional[jax.Array] = None # int32 [...] coarse-aligned start
     dec: Optional[IQ] = None          # planar IQ [..., mtu, N] dechirped (debug)
     fft_mag2: Optional[jax.Array] = None  # float32 [..., mtu, N] spectra (debug)
 
@@ -74,7 +76,8 @@ def required_samples(cfg: LoRaConfig, search_symbols: int = 4) -> int:
     """Minimum buffer length for demodulate(): search margin + preamble +
     sync + downchirps + quarter + MTU payload + retime slack."""
     N = cfg.N
-    return (search_symbols + 10 + 2 + 2 + 1 + cfg.mtu + 1) * N + N // 4
+    head = cfg.preamble_symbols + 2 + 2 + 1
+    return (search_symbols + head + cfg.mtu + 1) * N + N // 4
 
 
 def _trunc_half(x: jax.Array) -> jax.Array:
@@ -102,20 +105,32 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     score = jnp.where(agree, pair_snr, -jnp.inf)
     best = jnp.max(score)
     # earliest pair within 6 dB of the strongest (robust against noise
-    # windows passing the reference's permissive default threshold)
+    # windows passing the reference's permissive default threshold) ...
     good = agree & (score >= best - 6.0)
     first_w = jnp.argmax(good)
     found_pre = jnp.any(good)
-    v_sel = v[first_w + 1]
-    t0 = (first_w + 1) * N + ((N - v_sel) % N)
-    t0 = jnp.clip(t0, 0, T - 1).astype(jnp.int32)
+    # ... then extend that run of agreeing pairs to its end, so the sync
+    # scan starts at the *tail* of the preamble regardless of preamble
+    # length (the reference FSM walks the preamble one window at a time,
+    # LoRaDemod.cpp:179-237, so any length works there; here the scan
+    # budget is MAX_SYNC_SEARCH windows from t0).
+    idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
+    brk = (idx_w >= first_w) & ~agree
+    first_brk = jnp.where(jnp.any(brk), jnp.argmax(brk), agree.shape[0])
+    last_w = jnp.maximum(first_brk - 1, first_w).astype(jnp.int32)
+    v_sel = v[last_w + 1]
+    n_rows = MAX_SYNC_SEARCH + 4
+    t_cand = (last_w * N + ((N - v_sel) % N)).astype(jnp.int32)
+    # clamp so the scan block below fits entirely: the slice start then
+    # matches t0 exactly and t_sync stays truthful even when the frame's
+    # tail is not in this buffer (callers re-aim from t_candidate)
+    t0 = jnp.clip(t_cand, 0, T - n_rows * N).astype(jnp.int32)
 
     # ---- 2. FRAMESYNC scan on the aligned grid -----------------------------
     # One gather pulls every window the scan (and the downchirp stage) can
     # touch; the scan then row-indexes a small [n_rows, N] block instead of
     # issuing two full-stream gathers per step (TPU gathers are the
     # bottleneck, not the detects).
-    n_rows = MAX_SYNC_SEARCH + 4
     xs = cplx.dynamic_slice(x, (t0,), (n_rows * N,)).reshape(n_rows, N)
 
     def sync_step(carry, k):
@@ -201,6 +216,8 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
         snr=snr,
         t_sync=(t0 + k_sync * N).astype(jnp.int32),
         consumed=jnp.where(found, data_start + count * N, t0).astype(jnp.int32),
+        found_pre=found_pre,
+        t_candidate=t_cand,
         dec=dec if debug else None,
         fft_mag2=dd.mag2 if debug else None,
     )

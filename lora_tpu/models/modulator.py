@@ -37,7 +37,7 @@ def preamble_nums(cfg: LoRaConfig):
     segs = []
     carry = jnp.uint32(0)
     plan = (
-        [(0, NN, False)] * 10
+        [(0, NN, False)] * cfg.preamble_symbols
         + [((cfg.sync >> 4) * 8, NN, False), ((cfg.sync & 0xF) * 8, NN, False)]
         + [(0, NN, True), (0, NN, True), (0, NN // 4, True)]
     )

@@ -36,12 +36,9 @@ from ..models.demodulator import demodulate, required_samples, DemodResult
 from ..ops import cplx
 from ..ops.cplx import IQ
 
-PREAMBLE_SYMBOLS = 10  # frame head before the sync word (LoRaMod.cpp:140-169)
-
-
 def left_margin(cfg: LoRaConfig) -> int:
     """Samples of left-neighbour context: full preamble + sync + slack."""
-    return (PREAMBLE_SYMBOLS + 2 + 2) * cfg.N
+    return (cfg.preamble_symbols + 2 + 2) * cfg.N
 
 
 def halo_exchange(
@@ -123,7 +120,7 @@ def demodulate_stream(
     def local(block):  # [B_local, t_local] -> one frame slot
         ext = halo_exchange(block, L, halo, "time")
         dem = demodulate(ext, cfg)
-        start = dem.t_sync - PREAMBLE_SYMBOLS * cfg.N  # approx preamble start
+        start = dem.t_sync - cfg.preamble_symbols * cfg.N  # approx preamble start
         own = dem.found & (start >= L) & (start < L + t_local)
         t_off = jax.lax.axis_index("time").astype(jnp.int32) * t_local - L
         return DemodResult(

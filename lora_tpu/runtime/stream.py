@@ -31,7 +31,6 @@ from ..models.demodulator import demodulate, required_samples
 from ..models.decoder import decode, OK
 from ..ops import cplx
 from ..ops.cplx import IQ
-from ..parallel.halo import PREAMBLE_SYMBOLS
 
 
 @dataclasses.dataclass
@@ -60,7 +59,7 @@ class StreamDemodulator:
         self.window = required_samples(cfg)
         # no-frame stride keeps enough tail to re-see a preamble that starts
         # near the window's end
-        self.stride = self.window - (PREAMBLE_SYMBOLS + 4) * cfg.N
+        self.stride = self.window - (cfg.preamble_symbols + 4) * cfg.N
         assert self.stride > 0
         self.offsets = np.zeros(channels, np.int64)  # global read pointers
         self._base = 0  # global index of buf[:, 0]
@@ -115,12 +114,14 @@ class StreamDemodulator:
         snr = np.asarray(dem.snr)
         power = np.asarray(dem.power)
         ferr = np.asarray(dem.freq_error)
+        found_pre = np.asarray(dem.found_pre)
+        t_cand = np.asarray(dem.t_candidate)
 
         N = self.cfg.N
-        search = W - (PREAMBLE_SYMBOLS + 2 + 2 + 1 + self.cfg.mtu + 1) * N - N // 4
+        search = W - (self.cfg.preamble_symbols + 2 + 2 + 1 + self.cfg.mtu + 1) * N - N // 4
         frames: list[Frame] = []
         for b in range(self.B):
-            t_pre = int(t_sync[b]) - PREAMBLE_SYMBOLS * N  # window-relative
+            t_pre = int(t_sync[b]) - self.cfg.preamble_symbols * N  # window-relative
             if found[b] and t_pre <= search:
                 frames.append(
                     Frame(
@@ -137,6 +138,12 @@ class StreamDemodulator:
                 # frame starts too late in the window for its payload to
                 # fit: re-aim the next window at the detected preamble
                 self.offsets[b] += max(t_pre, 1)
+            elif found_pre[b]:
+                # coarse preamble hit but the sync scan ran off the window's
+                # end (frame tail not buffered yet): re-aim a couple of
+                # symbols before the aligned candidate; advance at least N
+                # so a noise candidate cannot stall the stream
+                self.offsets[b] += max(int(t_cand[b]) - 2 * N, N)
             else:
                 self.offsets[b] += self.stride
         self._trim()

@@ -117,3 +117,17 @@ def test_demod_squelch_on_pure_noise(rng):
     )
     dem = demodulator.demodulate(jnp.asarray(noise), cfg)
     assert int(dem.count[0]) == 0
+
+
+@pytest.mark.parametrize("pre", [6, 24, 80])
+def test_loopback_configurable_preamble_length(pre, rng):
+    """The reference modulator hardcodes 10 preamble symbols; real radios
+    use 6..65535.  The run-end alignment search must lock regardless."""
+    payload = rng.integers(0, 256, size=(1, 12)).astype(np.uint8)
+    cfg = LoRaConfig(sf=8, cr="4/7", ampl=1.0, preamble_symbols=pre)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 12))
+    dec, dem = api.loopback(payload, cfg, delay=431, noise_amplitude=1.0)
+    assert bool(np.asarray(dem.found)[0]), pre
+    assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
+    # sync lands preamble_symbols after the (delayed) frame start
+    assert abs(int(dem.t_sync[0]) - (431 + pre * cfg.N)) <= 1
