@@ -16,8 +16,14 @@ __all__ = ["LoRaConfig", "CODING_RATES"]
 def __getattr__(name):
     # Lazy top-level API to keep `import lora_tpu` light.
     if name in ("encode", "decode", "modulate", "demodulate",
-                "DecodeResult", "DemodResult", "loopback"):
+                "DecodeResult", "DemodResult", "IQ", "loopback",
+                "required_samples", "extract_payloads"):
         from . import api
 
         return getattr(api, name)
+    if name in ("parallel", "runtime", "api", "models", "ops", "sim",
+                "utils", "hw"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(name)
