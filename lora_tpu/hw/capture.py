@@ -50,12 +50,22 @@ def replay_file(
     """Decode every frame of a recorded capture file.
 
     fmt: cs8 | cu8 | cs16 | cf32 (interleaved wire format).
-    If capture_rate > channel_rate the stream is channelized first with
-    K = capture_rate / channel_rate and `channel` selects the bank output.
+    If capture_rate > channel_rate: an integer ratio channelizes the stream
+    (K channels, `channel` selects one); a fractional ratio resamples the
+    capture down to the channel rate (the RN2483Capture 2.048 Msps use
+    case) with the polyphase fractional resampler.  The fractional path
+    restarts its sample grid per chunk (sub-sample seams every `chunk`
+    samples); keep `chunk` large relative to the frame length.
     """
+    from ..ops import resample as rs
+
     K = 1
+    ratio = 1.0
     if capture_rate and channel_rate and capture_rate != channel_rate:
-        K = int(round(capture_rate / channel_rate))
+        ratio = capture_rate / channel_rate
+        if abs(ratio - round(ratio)) < 1e-9 and ratio >= 2:
+            K = int(round(ratio))
+            ratio = 1.0
     sd = StreamDemodulator(cfg, channels=1)
     state = None
     frames: list[Frame] = []
@@ -74,6 +84,9 @@ def replay_file(
                     IQ(jnp.asarray(re[:T]), jnp.asarray(im[:T])), K, state=state
                 )
                 sd.feed(IQ(y.re[channel][None], y.im[channel][None]))
+            elif ratio != 1.0:
+                nb = rs.resample(IQ(re, im), ratio)
+                sd.feed(nb.reshape(1, -1))
             else:
                 sd.feed(IQ(re[None], im[None]))
             frames.extend(sd.run())

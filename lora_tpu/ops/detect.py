@@ -124,6 +124,10 @@ def dechirp_detect(
     if fft_impl in ("auto", "pallas") and not want_mag2:
         from . import pallas_detect
 
+        # Batched window stacks only: single-window calls (the demodulator's
+        # sequential sync scan, vmapped over channels with a per-channel
+        # traced ferr) measured both slower and incorrectly batched through
+        # pallas_call's vmap rule — they stay on the XLA path.
         use = fft_impl == "pallas" or (
             jax.default_backend() == "tpu"
             and x.ndim >= 2
