@@ -164,14 +164,9 @@ def cmd_replay(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import importlib.util, pathlib
+    from .benchmarks import main as bench_main
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.main()
+    bench_main()
     return 0
 
 

@@ -133,21 +133,21 @@ def decode(symbols: jax.Array, cfg: LoRaConfig, num_symbols: int | None = None):
             [cw0[..., :start], codes.whiten(cw0[..., start:], 0, HEADER_RDD)],
             axis=-1,
         )
-        if nsym > N_HEADER_SYMBOLS:
-            cwr = codes.deinterleave(sym[..., N_HEADER_SYMBOLS:], ppm, cfg_rdd)
-            cwr = codes.whiten(cwr, ppm - start, cfg_rdd)
-            codewords = jnp.concatenate([cw0, cwr], axis=-1)
-        else:
-            codewords = cw0
         # The reference sizes its codeword buffer as numSymbols/(4+rdd)*PPM,
         # which over-counts the 8-symbol header block at rates != 4/8, and
-        # zero-fills the tail (LoRaDecoder.cpp:211,224) — reproduce that so
-        # byte-buffer sizing and the length drop check match.
-        if codewords.shape[-1] < ncw:
-            pad = ncw - codewords.shape[-1]
-            codewords = jnp.pad(
-                codewords, [(0, 0)] * (codewords.ndim - 1) + [(0, pad)]
-            )
+        # zero-fills the tail BEFORE dewhitening (LoRaDecoder.cpp:211,224,
+        # 243) — so the tail decodes as the raw whitening stream, not as
+        # zeros.  Reproduce that: pad the deinterleaved codewords first,
+        # then dewhiten the whole payload span.
+        if nsym > N_HEADER_SYMBOLS:
+            cwr = codes.deinterleave(sym[..., N_HEADER_SYMBOLS:], ppm, cfg_rdd)
+        else:
+            cwr = sym[..., :0]
+        tail = ncw - ppm - cwr.shape[-1]
+        if tail > 0:
+            cwr = jnp.pad(cwr, [(0, 0)] * (cwr.ndim - 1) + [(0, tail)])
+        cwr = codes.whiten(cwr, ppm - start, cfg_rdd)
+        codewords = jnp.concatenate([cw0, cwr], axis=-1)
     else:
         codewords = codes.deinterleave(sym, ppm, cfg_rdd)
         codewords = jnp.concatenate(
@@ -196,7 +196,7 @@ def decode(symbols: jax.Array, cfg: LoRaConfig, num_symbols: int | None = None):
     n_pay = ncw - start
     n0 = ppm - start  # first loop: header-block codewords, always Hamming84
     nib84, err84, bad84 = codes.fec_decode(pay_cw, HEADER_RDD)
-    nib_dyn, err_dyn, _ = codes.fec_decode(pay_cw, rdd[..., None])
+    nib_dyn, err_dyn, bad_dyn = codes.fec_decode(pay_cw, rdd[..., None])
     j = jnp.arange(n_pay, dtype=jnp.int32)
     in_first = j < n0
     nib = jnp.where(in_first, nib84, nib_dyn)
@@ -217,7 +217,11 @@ def decode(symbols: jax.Array, cfg: LoRaConfig, num_symbols: int | None = None):
         err_mask = err_mask | (j == n0)
     fec_error = jnp.any((err > 0) & err_mask, axis=-1)
     fec_errors = jnp.sum(err * err_mask, axis=-1)
-    bad_count = hdr_bad + jnp.sum(bad84 * err_mask * in_first, axis=-1)
+    # uncorrectable (double-bit) counts exist only for Hamming(8,4): the
+    # always-4/8 first block plus payload codewords when the header
+    # announces rate 4/8 (LoRaDecoder.cpp:330,355)
+    bad = jnp.where(in_first, bad84, jnp.where(rdd[..., None] == 4, bad_dyn, 0))
+    bad_count = hdr_bad + jnp.sum(bad * err_mask, axis=-1)
 
     # ---- byte assembly ------------------------------------------------------
     # nibble j lands at stream position d_ofs0 + j; even positions are low

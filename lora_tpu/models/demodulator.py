@@ -158,7 +158,9 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
             ferr + dk.f_index,
             jnp.where(searching & squelched, 0.0, ferr),
         )
-        new_prev = jnp.where(searching & ~is_sync, q, prev_q)
+        # the reference stores _prevValue after *every* window, squelched
+        # ones included (LoRaDemod.cpp:326)
+        new_prev = jnp.where(searching, q, prev_q)
         return (new_state, new_ferr, new_prev, new_ksync), None
 
     init = (jnp.int32(0), jnp.float32(0.0), jnp.int32(999), jnp.int32(0))

@@ -50,7 +50,9 @@ def encode(payload: jax.Array, cfg: LoRaConfig, payload_len: int | None = None):
     if payload_len is None:
         payload_len = payload.shape[-1]
     squeeze = payload.ndim == 1
-    data = jnp.atleast_2d(payload).astype(jnp.int32)
+    # payload_len is static: bytes beyond it take no part in the frame
+    # (CRC, header length, and nibble stream all agree on payload_len)
+    data = jnp.atleast_2d(payload).astype(jnp.int32)[..., :payload_len]
     ppm, rdd, sf = cfg.PPM, cfg.rdd, cfg.sf
 
     if cfg.crc:

@@ -283,7 +283,8 @@ def dechirp_detect_pallas(
     x, down: bool = False, ferr=None, interpret: bool = False
 ):
     """Fused dechirp+detect over windows [..., N] (drop-in for
-    detect.dechirp_detect, minus debug mag2).  N <= 1024."""
+    detect.dechirp_detect, minus debug mag2).  Power-of-two N up to
+    MAX_N = 4096 (direct DFT to 256, four-step from 512)."""
     from .detect import DetectResult
 
     x = cplx.as_iq(x)

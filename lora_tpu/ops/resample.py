@@ -51,8 +51,11 @@ def resample(x, ratio: float, out_len: int | None = None) -> IQ:
     (ratio > 1 decimates).  Returns IQ [..., M]."""
     x = cplx.as_iq(x)
     T = x.shape[-1]
+    taps_eff = int(np.ceil(TAPS * ratio)) if ratio > 1 else TAPS
     if out_len is None:
-        out_len = int((T - TAPS) / ratio)
+        # keep every output's (possibly ratio-widened) tap window inside
+        # the input
+        out_len = int((T - taps_eff) / ratio)
     M = out_len
     # output m draws from input position m*ratio; subfilter p of the bank
     # realizes a delay of -p/NPHASE from the *next* integer sample
@@ -63,11 +66,8 @@ def resample(x, ratio: float, out_len: int | None = None) -> IQ:
     base = base + (p > 0)
     phase = (NPHASE - p) % NPHASE
     # decimation: anti-alias cutoff 1/ratio and footprint ratio*TAPS inputs
-    if ratio > 1:
-        num, den = 1000, int(round(1000 * ratio))
-        taps = int(np.ceil(TAPS * ratio))
-    else:
-        num, den, taps = 1, 1, TAPS
+    num, den = (1000, int(round(1000 * ratio))) if ratio > 1 else (1, 1)
+    taps = taps_eff
     center = taps // 2
     idx = base[:, None] + (np.arange(taps)[None, :] - center)  # [M, taps]
     idx = np.clip(idx, 0, T - 1)

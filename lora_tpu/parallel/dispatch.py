@@ -76,7 +76,18 @@ class ChannelDispatcher:
                 bank_re[i, : re.shape[-1]] = re
                 bank_im[i, : im.shape[-1]] = im
             dem = demodulate(IQ(jnp.asarray(bank_re), jnp.asarray(bank_im)), cfg)
-            found = np.asarray(dem.found)
+            # a frame only counts if its payload fits the buffer (the
+            # demodulator clamps data_start otherwise and the symbols are
+            # meaningless — same guard as runtime/stream.py)
+            N = cfg.N
+            t_buf = max(T, need)
+            # payload must fit: data_start (= preamble + sync + downchirps +
+            # quarter + retime, < pre+5 symbols past t_pre) + mtu windows
+            room = t_buf - (
+                cfg.preamble_symbols + 2 + 2 + 1 + cfg.mtu
+            ) * N - N // 4
+            t_pre = np.asarray(dem.t_sync) - cfg.preamble_symbols * N
+            found = np.asarray(dem.found) & (t_pre <= room)
             counts = np.asarray(dem.count)
             symbols = np.asarray(dem.symbols)
             snr = np.asarray(dem.snr)

@@ -29,8 +29,16 @@ def initialize(
     process_id: int | None = None,
 ) -> None:
     """jax.distributed.initialize with env-based autodetection by default
-    (GKE/TPU-VM set the env; explicit args for bare-metal clusters)."""
-    if jax.process_count() > 1:
+    (GKE/TPU-VM set the env; explicit args for bare-metal clusters).
+
+    Must run before anything touches the XLA backend — including
+    jax.process_count()/jax.devices(); this wrapper therefore probes the
+    distributed client state, not the backend.
+    """
+    client = getattr(
+        jax._src.distributed.global_state, "client", None  # noqa: SLF001
+    )
+    if client is not None:
         return  # already initialized
     kw = {}
     if coordinator is not None:

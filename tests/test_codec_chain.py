@@ -191,3 +191,23 @@ def test_golden_encoder_variants():
         np.asarray(encode(jnp.asarray(payload), cfg)[0]),
         GOLDEN["enc_symbols_rdd1"],
     )
+
+
+def test_truncated_frame_tail_decodes_as_whitening_stream():
+    """The reference zero-fills its over-counted codeword tail BEFORE
+    dewhitening (LoRaDecoder.cpp:211,224,243), so when a header-announced
+    length reaches past the real symbols, the missing bytes decode as the
+    raw whitening stream — not as zeros.  Values cross-checked against a
+    direct port of the reference decoder (first tail byte 227)."""
+    import jax.numpy as jnp
+    from lora_tpu import api
+
+    cfg = LoRaConfig(sf=7, cr="4/4", crc=False, error_check=False, ampl=1.0)
+    payload = np.arange(18, dtype=np.uint8)
+    sym = np.asarray(api.encode(jnp.asarray(payload[None]), cfg))
+    assert sym.shape[-1] == 28
+    dec = api.decode(jnp.asarray(sym[:, :24], jnp.int32), cfg)  # truncated
+    assert int(dec.status[0]) == 0
+    data = np.asarray(dec.data)[0]
+    np.testing.assert_array_equal(data[3:18], payload[:15])
+    np.testing.assert_array_equal(data[18:21], [227, 198, 141])
