@@ -188,40 +188,50 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     data_start = t_dc + 2 * N + N // 4 + _trunc_half(freq_error)
     data_start = jnp.clip(data_start, 0, max(0, T - cfg.mtu * N)).astype(jnp.int32)
 
-    # ---- 5. batched payload demod -------------------------------------------
+    # ---- 5. payload window gather -------------------------------------------
+    # (the detect itself runs *outside* the channel vmap — see demodulate —
+    # so all B*mtu windows hit the fused kernel as one batch instead of B
+    # single-tile launches)
     xd = cplx.dynamic_slice(x, (data_start,), (cfg.mtu * N,)).reshape(
         cfg.mtu, N
     )
-    if debug:  # keep the dechirped tap + spectra (the reference's dec/fft
-        # debug ports); the fast path fuses everything in one kernel
-        dec = det_ops.dechirp(xd, ferr=fine_total)
-        dd = det_ops.detect(dec, want_mag2=True)
-    else:
-        dec = None
-        dd = det_ops.dechirp_detect(xd, ferr=fine_total)
-    snr_d = dd.power - dd.noise
-    squelched_d = snr_d < thresh
-    any_sq = jnp.any(squelched_d)
-    first_sq = jnp.argmax(squelched_d)
-    count = jnp.where(any_sq, jnp.minimum(first_sq + 1, cfg.mtu), cfg.mtu)
-    count = jnp.where(found, count, 0).astype(jnp.int32)
-    sym_mask = jnp.arange(cfg.mtu) < count
-    symbols = jnp.where(sym_mask, dd.value, 0).astype(jnp.int16)
-
-    return DemodResult(
-        symbols=symbols,
-        count=count,
+    head = DemodResult(
+        symbols=jnp.zeros((), jnp.int16),  # filled by _payload_epilogue
+        count=jnp.zeros((), jnp.int32),
         found=found,
         freq_error=jnp.where(found, freq_error, 0),
         fine_freq=jnp.where(found, fine_total, 0.0),
         power=power,
         snr=snr,
         t_sync=(t0 + k_sync * N).astype(jnp.int32),
-        consumed=jnp.where(found, data_start + count * N, t0).astype(jnp.int32),
+        consumed=data_start,  # finalized with count in _payload_epilogue
         found_pre=found_pre,
         t_candidate=t_cand,
-        dec=dec if debug else None,
-        fft_mag2=dd.mag2 if debug else None,
+    )
+    return head, xd, fine_total, t0
+
+
+def _payload_epilogue(head: DemodResult, dd, cfg: LoRaConfig):
+    """Squelch cut + packet framing over batched payload detections [B, mtu]
+    (reference semantics: the squelched symbol is included,
+    LoRaDemod.cpp:290-301)."""
+    thresh = jnp.float32(cfg.thresh)
+    snr_d = dd.power - dd.noise
+    squelched_d = snr_d < thresh
+    any_sq = jnp.any(squelched_d, axis=-1)
+    first_sq = jnp.argmax(squelched_d, axis=-1)
+    count = jnp.where(any_sq, jnp.minimum(first_sq + 1, cfg.mtu), cfg.mtu)
+    count = jnp.where(head.found, count, 0).astype(jnp.int32)
+    sym_mask = jnp.arange(cfg.mtu) < count[..., None]
+    symbols = jnp.where(sym_mask, dd.value, 0).astype(jnp.int16)
+    data_start = head.consumed
+    return dataclasses.replace(
+        head,
+        symbols=symbols,
+        count=count,
+        consumed=jnp.where(head.found, data_start + count * cfg.N, 0).astype(
+            jnp.int32
+        ),
     )
 
 
@@ -240,7 +250,25 @@ def demodulate(x: jax.Array, cfg: LoRaConfig, debug: bool = False):
     need = required_samples(cfg)
     if xb.shape[-1] < need:  # static: pad short buffers to the demod window
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
-    res = jax.vmap(lambda row: _demod_frame(row, cfg, debug))(xb)
+    head, xd, fine_total, t0 = jax.vmap(
+        lambda row: _demod_frame(row, cfg, debug)
+    )(xb)
+    # consumed temporarily holds data_start; restore t0 for the not-found
+    # lanes after the epilogue computes the real value
+    if debug:  # keep the dechirped tap + spectra (the reference's dec/fft
+        # debug ports); the fast path fuses everything in one kernel
+        dec = det_ops.dechirp(xd, ferr=fine_total[:, None])
+        dd = det_ops.detect(dec, want_mag2=True)
+    else:
+        dec = None
+        dd = det_ops.dechirp_detect(xd, ferr=fine_total[:, None])
+    res = _payload_epilogue(head, dd, cfg)
+    res = dataclasses.replace(
+        res,
+        consumed=jnp.where(res.found, res.consumed, t0).astype(jnp.int32),
+        dec=dec,
+        fft_mag2=dd.mag2 if debug else None,
+    )
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)
     return res

@@ -131,3 +131,25 @@ def test_loopback_configurable_preamble_length(pre, rng):
     assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
     # sync lands preamble_symbols after the (delayed) frame start
     assert abs(int(dem.t_sync[0]) - (431 + pre * cfg.N)) <= 1
+
+
+def test_demod_debug_taps(rng):
+    """debug=True carries the dechirped payload windows and spectra (the
+    reference's dec/fft debug ports, LoRaDemod.cpp:81-83)."""
+    import jax.numpy as jnp
+    from lora_tpu.models import demodulator
+
+    payload = rng.integers(0, 256, size=(1, 8)).astype(np.uint8)
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 8))
+    iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
+    dem = demodulator.demodulate(iq, cfg, debug=True)
+    assert dem.dec is not None and dem.fft_mag2 is not None
+    assert dem.dec.re.shape == (1, cfg.mtu, cfg.N)
+    assert dem.fft_mag2.shape == (1, cfg.mtu, cfg.N)
+    # spectra peak at the detected symbol bins
+    peaks = np.argmax(np.asarray(dem.fft_mag2[0]), axis=-1)
+    np.testing.assert_array_equal(
+        peaks[: int(dem.count[0])], np.asarray(dem.symbols[0, : int(dem.count[0])])
+    )
+    assert bool(np.asarray(dem.found)[0])
