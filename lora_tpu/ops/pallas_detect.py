@@ -44,8 +44,10 @@ _LOG10 = float(np.log(10.0))
 
 def _tile_windows(N: int) -> int:
     # keep ~6-8 [TW, N] f32 temporaries + double-buffered input tiles
-    # comfortably under the ~16 MB VMEM budget
-    return max(8, min(128, (1 << 19) // (N * 4)))
+    # comfortably under the ~16 MB VMEM budget (N=4096 measured 116 KB over
+    # the scoped limit at TW=32 under vmap batching, hence the lower cap)
+    tw = max(8, min(128, (1 << 19) // (N * 4)))
+    return min(tw, 16) if N >= 4096 else tw
 
 
 def _finish(mag2, bins, N, value, power, noise, findex):
