@@ -85,14 +85,11 @@ def _trunc_half(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * (jnp.abs(x) // 2)
 
 
-def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
+def _coarse(x: IQ, cfg: LoRaConfig):
+    """Stage 1: dechirp-detect every stride-N window; pairwise agreement
+    map for the preamble search."""
     T = x.shape[-1]
     N = cfg.N
-    thresh = jnp.float32(cfg.thresh)
-    sync0 = cfg.sync >> 4
-    sync1 = cfg.sync & 0xF
-
-    # ---- 1. block-parallel coarse alignment --------------------------------
     W = T // N
     win = x[: W * N].reshape(W, N)
     d0 = det_ops.dechirp_detect(win)
@@ -101,19 +98,32 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     dv = jnp.abs(v[:-1] - v[1:])
     dist = jnp.minimum(dv, N - dv)
     pair_snr = jnp.minimum(snr0[:-1], snr0[1:])
-    agree = (dist <= 2) & (pair_snr > thresh)
-    score = jnp.where(agree, pair_snr, -jnp.inf)
-    best = jnp.max(score)
-    # earliest pair within 6 dB of the strongest (robust against noise
-    # windows passing the reference's permissive default threshold) ...
-    good = agree & (score >= best - 6.0)
-    first_w = jnp.argmax(good)
-    found_pre = jnp.any(good)
-    # ... then extend that run of agreeing pairs to its end, so the sync
-    # scan starts at the *tail* of the preamble regardless of preamble
-    # length (the reference FSM walks the preamble one window at a time,
-    # LoRaDemod.cpp:179-237, so any length works there; here the scan
-    # budget is MAX_SYNC_SEARCH windows from t0).
+    # absolute floor rejects degenerate all-zero windows (no signal, no
+    # noise), whose 0/0 spectra read bin 0 at "0 dB SNR" and would
+    # otherwise form fake preamble runs in idle stretches
+    pair_pow = jnp.minimum(d0.power[:-1], d0.power[1:])
+    agree = (
+        (dist <= 2) & (pair_snr > jnp.float32(cfg.thresh)) & (pair_pow > -200.0)
+    )
+    return agree, pair_snr, v
+
+
+def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
+    """Stages 2-5 for one candidate preamble run starting at window pair
+    `first_w`: run-end alignment, sync scan, downchirp CFO, quarter-chirp
+    correction, payload window gather.  Scalar per candidate — vmapped over
+    frame candidates and channels by demodulate()."""
+    T = x.shape[-1]
+    N = cfg.N
+    thresh = jnp.float32(cfg.thresh)
+    sync0 = cfg.sync >> 4
+    sync1 = cfg.sync & 0xF
+
+    # extend the run of agreeing pairs to its end, so the sync scan starts
+    # at the *tail* of the preamble regardless of preamble length (the
+    # reference FSM walks the preamble one window at a time,
+    # LoRaDemod.cpp:179-237; here the scan budget is MAX_SYNC_SEARCH
+    # windows from t0).
     idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
     brk = (idx_w >= first_w) & ~agree
     first_brk = jnp.where(jnp.any(brk), jnp.argmax(brk), agree.shape[0])
@@ -211,6 +221,41 @@ def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
     return head, xd, fine_total, t0
 
 
+def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
+    """Single strongest-frame pipeline (max_frames=1): earliest agreeing
+    pair within 6 dB of the strongest (robust against noise windows passing
+    the reference's permissive default threshold)."""
+    agree, pair_snr, v = _coarse(x, cfg)
+    score = jnp.where(agree, pair_snr, -jnp.inf)
+    good = agree & (score >= jnp.max(score) - 6.0)
+    first_w = jnp.argmax(good)
+    found_pre = jnp.any(good)
+    return _track(x, cfg, agree, v, first_w, found_pre)
+
+
+def _demod_multi(x: IQ, cfg: LoRaConfig, max_frames: int):
+    """Multi-frame pipeline: the first `max_frames` runs of agreeing pairs,
+    in time order, each tracked independently (false runs fail the sync
+    scan and report found=False).  The 6 dB near-far filter is skipped —
+    coexisting frames may differ in power."""
+    agree, _, v = _coarse(x, cfg)
+    idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
+    run_start = agree & ~jnp.concatenate([jnp.array([False]), agree[:-1]])
+    # a real preamble (>= 6 chirps) yields >= 4 consecutive agreeing pairs;
+    # requiring 3 discards the 1-2-pair runs every frame's identical
+    # downchirp pair (and chance data agreements) would otherwise spawn
+    a1 = jnp.concatenate([agree[1:], jnp.array([False])])
+    a2 = jnp.concatenate([agree[2:], jnp.array([False, False])])
+    run_start = run_start & a1 & a2
+    sentinel = agree.shape[0]
+    starts = jnp.sort(jnp.where(run_start, idx_w, sentinel))[:max_frames]
+    valid = starts < sentinel
+    fw = jnp.minimum(starts, sentinel - 1)
+    return jax.vmap(
+        lambda f, val: _track(x, cfg, agree, v, f, val)
+    )(fw, valid)
+
+
 def _payload_epilogue(head: DemodResult, dd, cfg: LoRaConfig):
     """Squelch cut + packet framing over batched payload detections [B, mtu]
     (reference semantics: the squelched symbol is included,
@@ -235,14 +280,22 @@ def _payload_epilogue(head: DemodResult, dd, cfg: LoRaConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "debug"))
-def demodulate(x: jax.Array, cfg: LoRaConfig, debug: bool = False):
-    """Demodulate one frame per channel buffer.
+@functools.partial(jax.jit, static_argnames=("cfg", "debug", "max_frames"))
+def demodulate(
+    x: jax.Array, cfg: LoRaConfig, debug: bool = False, max_frames: int = 1
+):
+    """Demodulate frames out of each channel buffer.
 
     x: planar IQ (or complex array, converted) [B, T] (or [T]) baseband at
-    1 sample/chip; buffers shorter than required_samples(cfg) are padded.  Returns a :class:`DemodResult`; with
-    debug=True it also carries the dechirped payload windows and their
-    spectra (the reference's `dec`/`fft` debug ports, LoRaDemod.cpp:81-83).
+    1 sample/chip; buffers shorter than required_samples(cfg) are padded.
+    Returns a :class:`DemodResult`; with debug=True it also carries the
+    dechirped payload windows and their spectra (the reference's `dec`/`fft`
+    debug ports, LoRaDemod.cpp:81-83).
+
+    max_frames > 1 tracks up to that many frames per buffer in one call
+    (result leaves gain a trailing candidate axis [..., K]; candidates are
+    time-ordered, unused slots report found=False).  Memory and payload
+    compute scale with K.
     """
     x = cplx.as_iq(x)
     squeeze = x.ndim == 1
@@ -250,18 +303,23 @@ def demodulate(x: jax.Array, cfg: LoRaConfig, debug: bool = False):
     need = required_samples(cfg)
     if xb.shape[-1] < need:  # static: pad short buffers to the demod window
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
-    head, xd, fine_total, t0 = jax.vmap(
-        lambda row: _demod_frame(row, cfg, debug)
-    )(xb)
+    if max_frames == 1:
+        head, xd, fine_total, t0 = jax.vmap(
+            lambda row: _demod_frame(row, cfg, debug)
+        )(xb)
+    else:
+        head, xd, fine_total, t0 = jax.vmap(
+            lambda row: _demod_multi(row, cfg, max_frames)
+        )(xb)
     # consumed temporarily holds data_start; restore t0 for the not-found
     # lanes after the epilogue computes the real value
     if debug:  # keep the dechirped tap + spectra (the reference's dec/fft
         # debug ports); the fast path fuses everything in one kernel
-        dec = det_ops.dechirp(xd, ferr=fine_total[:, None])
+        dec = det_ops.dechirp(xd, ferr=fine_total[..., None])
         dd = det_ops.detect(dec, want_mag2=True)
     else:
         dec = None
-        dd = det_ops.dechirp_detect(xd, ferr=fine_total[:, None])
+        dd = det_ops.dechirp_detect(xd, ferr=fine_total[..., None])
     res = _payload_epilogue(head, dd, cfg)
     res = dataclasses.replace(
         res,

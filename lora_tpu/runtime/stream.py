@@ -53,9 +53,10 @@ class StreamDemodulator:
     feed() planar sample blocks [B, n] (any n), then drain frames().
     """
 
-    def __init__(self, cfg: LoRaConfig, channels: int):
+    def __init__(self, cfg: LoRaConfig, channels: int, max_frames: int = 1):
         self.cfg = cfg
         self.B = channels
+        self.max_frames = max_frames  # frames recovered per device step
         self.window = required_samples(cfg)
         # no-frame stride keeps enough tail to re-see a preamble that starts
         # near the window's end
@@ -105,47 +106,73 @@ class StreamDemodulator:
         win = IQ(
             jnp.asarray(self._re[rows, cols]), jnp.asarray(self._im[rows, cols])
         )
-        dem = demodulate(win, self.cfg)
-        found = np.asarray(dem.found)
-        t_sync = np.asarray(dem.t_sync)
-        consumed = np.asarray(dem.consumed)
-        counts = np.asarray(dem.count)
-        symbols = np.asarray(dem.symbols)
-        snr = np.asarray(dem.snr)
-        power = np.asarray(dem.power)
-        ferr = np.asarray(dem.freq_error)
-        found_pre = np.asarray(dem.found_pre)
-        t_cand = np.asarray(dem.t_candidate)
+        dem = demodulate(win, self.cfg, max_frames=self.max_frames)
+        K = self.max_frames
+
+        def arr(a):  # normalize to [B, K, ...]
+            a = np.asarray(a)
+            return a[:, None] if K == 1 else a
+
+        found = arr(dem.found)
+        t_sync = arr(dem.t_sync)
+        consumed = arr(dem.consumed)
+        counts = arr(dem.count)
+        symbols = np.asarray(dem.symbols).reshape(self.B, K, -1)
+        snr = arr(dem.snr)
+        power = arr(dem.power)
+        ferr = arr(dem.freq_error)
+        found_pre = arr(dem.found_pre)
+        t_cand = arr(dem.t_candidate)
 
         N = self.cfg.N
         search = W - (self.cfg.preamble_symbols + 2 + 2 + 1 + self.cfg.mtu + 1) * N - N // 4
         frames: list[Frame] = []
         for b in range(self.B):
-            t_pre = int(t_sync[b]) - self.cfg.preamble_symbols * N  # window-relative
-            if found[b] and t_pre <= search:
+            advance = None
+            accepted_end = 0
+            emitted = 0
+            for k in range(K):  # candidates are time-ordered
+                if not found[b, k]:
+                    continue
+                t_pre = int(t_sync[b, k]) - self.cfg.preamble_symbols * N
+                # a previous frame's mtu overshoot may consume a few
+                # preamble symbols, putting the nominal start before the
+                # window: clamp for the ordering/room checks
+                if max(t_pre, 0) < accepted_end:
+                    continue  # overlaps an already-accepted frame
+                if t_pre > search:
+                    # frame starts too late for its payload to fit: re-aim
+                    advance = max(t_pre, 1)
+                    break
                 frames.append(
                     Frame(
                         channel=b,
                         t_start=int(self.offsets[b]) + t_pre,
-                        symbols=symbols[b, : counts[b]].copy(),
-                        snr=float(snr[b]),
-                        power=float(power[b]),
-                        freq_error=int(ferr[b]),
+                        symbols=symbols[b, k, : counts[b, k]].copy(),
+                        snr=float(snr[b, k]),
+                        power=float(power[b, k]),
+                        freq_error=int(ferr[b, k]),
                     )
                 )
-                self.offsets[b] += max(int(consumed[b]), 1)
-            elif found[b]:
-                # frame starts too late in the window for its payload to
-                # fit: re-aim the next window at the detected preamble
-                self.offsets[b] += max(t_pre, 1)
-            elif found_pre[b]:
-                # coarse preamble hit but the sync scan ran off the window's
-                # end (frame tail not buffered yet): re-aim a couple of
-                # symbols before the aligned candidate; advance at least N
-                # so a noise candidate cannot stall the stream
-                self.offsets[b] += max(int(t_cand[b]) - 2 * N, N)
-            else:
-                self.offsets[b] += self.stride
+                accepted_end = max(int(consumed[b, k]), accepted_end + 1, 1)
+                emitted += 1
+            if advance is None:
+                if emitted:
+                    advance = accepted_end
+                elif found_pre[b, 0]:
+                    # coarse preamble hit but the sync scan ran off the
+                    # window's end (frame tail not buffered yet).  The
+                    # candidate marks the *run end* (preamble tail), so
+                    # re-aim a full preamble before it; advance at least N
+                    # so a noise candidate cannot stall the stream
+                    advance = max(
+                        int(t_cand[b, 0])
+                        - (self.cfg.preamble_symbols + 2) * N,
+                        N,
+                    )
+                else:
+                    advance = self.stride
+            self.offsets[b] += advance
         self._trim()
         return frames
 

@@ -153,3 +153,35 @@ def test_demod_debug_taps(rng):
         peaks[: int(dem.count[0])], np.asarray(dem.symbols[0, : int(dem.count[0])])
     )
     assert bool(np.asarray(dem.found)[0])
+
+
+def test_multi_frame_demodulate(rng):
+    """max_frames > 1: several frames in one buffer recovered in one call."""
+    import jax.numpy as jnp
+    from lora_tpu.ops import cplx
+    from lora_tpu.models import demodulator
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    p = rng.integers(0, 256, size=(3, 4)).astype(np.uint8)
+    frames = api.modulate(api.encode(jnp.asarray(p), cfg), cfg)
+    FL = frames.shape[-1]
+    gaps = [300, 900, 150]
+    T = sum(gaps) + 3 * FL + demodulator.required_samples(cfg)
+    buf = np.zeros((1, T), np.complex64)
+    pos, starts = 0, []
+    fr = cplx.to_complex(frames)
+    for i, g in enumerate(gaps):
+        pos += g
+        starts.append(pos)
+        buf[0, pos : pos + FL] = fr[i]
+        pos += FL
+    dem = demodulator.demodulate(jnp.asarray(buf), cfg, max_frames=4)
+    found = np.asarray(dem.found)[0]
+    assert found.tolist() == [True, True, True, False]
+    t_syncs = np.asarray(dem.t_sync)[0]
+    for k, s in enumerate(starts):
+        assert abs(int(t_syncs[k]) - (s + 10 * cfg.N)) <= 1
+    # all three decode byte-exact
+    dec = api.decode(np.asarray(dem.symbols)[0, :3].astype(np.int32), cfg)
+    assert api.extract_payloads(dec) == [bytes(x.tolist()) for x in p]

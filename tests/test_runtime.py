@@ -127,3 +127,29 @@ def test_iq_ring_wraparound():
     ring2 = iqio.IqRing(10)
     w = ring2.write(np.ones(25, np.float32), np.ones(25, np.float32))
     assert w == 10 and ring2.dropped == 15
+
+
+def test_stream_multi_frame_per_step(rng):
+    """max_frames > 1 recovers several frames per device step."""
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    payloads = [rng.integers(0, 256, 4).astype(np.uint8) for _ in range(5)]
+    gaps = [200, 150, 400, 120, 300]
+    x, starts = _make_stream(cfg, payloads, gaps, rng, noise=0.02)
+
+    sd = StreamDemodulator(cfg, channels=1, max_frames=3)
+    sd.feed(x[None])
+    steps = 0
+    frames = []
+    while sd.ready():
+        frames.extend(sd.step())
+        steps += 1
+    frames.extend(sd.flush())
+    assert len(frames) == 5, [f.t_start for f in frames]
+    for f, want in zip(frames, starts):
+        assert abs(f.t_start - want) <= 1
+    decode_frames(frames, cfg)
+    assert [f.payload for f in frames] == [bytes(p.tolist()) for p in payloads]
+    # frames are dense (~5300 samples apart, window ~5900): multi-frame
+    # tracking must beat one-frame-per-step
+    assert steps <= 4, steps
