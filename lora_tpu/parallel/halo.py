@@ -85,6 +85,7 @@ def demodulate_stream(
     cfg: LoRaConfig,
     mesh: Mesh,
     halo: int | None = None,
+    max_frames: int = 1,
 ) -> DemodResult:
     """Demodulate a bank of long captures sharded along time.
 
@@ -117,9 +118,9 @@ def demodulate_stream(
             " use fewer time shards"
         )
 
-    def local(block):  # [B_local, t_local] -> one frame slot
+    def local(block):  # [B_local, t_local] -> max_frames frame slots
         ext = halo_exchange(block, L, halo, "time")
-        dem = demodulate(ext, cfg)
+        dem = demodulate(ext, cfg, max_frames=max_frames)
         start = dem.t_sync - cfg.preamble_symbols * cfg.N  # approx preamble start
         own = dem.found & (start >= L) & (start < L + t_local)
         t_off = jax.lax.axis_index("time").astype(jnp.int32) * t_local - L
@@ -135,16 +136,17 @@ def demodulate_stream(
             consumed=jnp.where(own, dem.consumed + t_off, 0),
         )
 
+    k_ax = (None,) if max_frames > 1 else ()
     spec_out_leaf = {
-        "symbols": P(("channel",), None),
-        "count": P(("channel",)),
-        "found": P(("channel",)),
-        "freq_error": P(("channel",)),
-        "fine_freq": P(("channel",)),
-        "power": P(("channel",)),
-        "snr": P(("channel",)),
-        "t_sync": P(("channel",)),
-        "consumed": P(("channel",)),
+        "symbols": P(("channel",), *k_ax, None),
+        "count": P(("channel",), *k_ax),
+        "found": P(("channel",), *k_ax),
+        "freq_error": P(("channel",), *k_ax),
+        "fine_freq": P(("channel",), *k_ax),
+        "power": P(("channel",), *k_ax),
+        "snr": P(("channel",), *k_ax),
+        "t_sync": P(("channel",), *k_ax),
+        "consumed": P(("channel",), *k_ax),
     }
 
     # one frame slot per (time shard, channel): the time axis maps to a

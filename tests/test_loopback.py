@@ -18,7 +18,7 @@ def mtu_for(cfg, payload_len):
     return cfg.num_symbols(payload_len) + 4
 
 
-@pytest.mark.parametrize("sf", [7, 8, 9, 10, 11, 12])
+@pytest.mark.parametrize("sf", [6, 7, 8, 9, 10, 11, 12])
 def test_clean_loopback_all_sf(sf, rng):
     payload = rng.integers(0, 256, size=(2, 16)).astype(np.uint8)
     cfg = LoRaConfig(sf=sf, cr="4/7", ampl=1.0)

@@ -118,3 +118,36 @@ def test_graft_entry_and_dryrun():
         ge.dryrun_multichip(8)
     finally:
         sys.path.remove("/root/repo")
+
+
+def test_time_sharded_stream_multi_frame(rng):
+    """Two frames inside one shard's region, recovered by the same shard's
+    candidate slots under max_frames=2."""
+    mesh = make_mesh(time=2)
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    need = required_samples(cfg)
+    t_local = ((need - 1) // 128 + 1) * 128 + 6144
+    T = t_local * 2
+
+    payload = rng.integers(0, 256, size=(2, 4)).astype(np.uint8)
+    frame = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
+    FL = frame.shape[-1]
+    fr = cplx.to_complex(frame)
+    bank = np.zeros((8, T), np.complex64)
+    offsets = [64, 64 + FL + 500]  # both in shard 0
+    for i, o in enumerate(offsets):
+        bank[0, o : o + FL] = fr[i]
+    iq = jax.device_put(
+        jnp.asarray(bank), NamedSharding(mesh, P("channel", "time"))
+    )
+    dem = demodulate_stream(iq, cfg, mesh, max_frames=2)
+    found = np.asarray(dem.found)  # [time, B, K]
+    assert found.shape == (2, 8, 2)
+    assert found[0, 0].tolist() == [True, True]
+    assert not found[1].any() and not found[0, 1:].any()
+    t_sync = np.asarray(dem.t_sync)
+    for k, o in enumerate(offsets):
+        assert abs(int(t_sync[0, 0, k]) - (o + 10 * cfg.N)) <= 1
+    dec = api.decode(np.asarray(dem.symbols)[0, 0].astype(np.int32), cfg)
+    assert api.extract_payloads(dec) == [bytes(p.tolist()) for p in payload]
