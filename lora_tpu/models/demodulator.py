@@ -46,6 +46,7 @@ import numpy as np
 from ..config import LoRaConfig
 from ..ops import cplx
 from ..ops import detect as det_ops
+from ..ops import shift as shift_ops
 from ..ops.cplx import IQ
 
 MAX_SYNC_SEARCH = 13  # aligned windows scanned for the sync word (>= 9
@@ -198,13 +199,10 @@ def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
     data_start = t_dc + 2 * N + N // 4 + _trunc_half(freq_error)
     data_start = jnp.clip(data_start, 0, max(0, T - cfg.mtu * N)).astype(jnp.int32)
 
-    # ---- 5. payload window gather -------------------------------------------
-    # (the detect itself runs *outside* the channel vmap — see demodulate —
-    # so all B*mtu windows hit the fused kernel as one batch instead of B
-    # single-tile launches)
-    xd = cplx.dynamic_slice(x, (data_start,), (cfg.mtu * N,)).reshape(
-        cfg.mtu, N
-    )
+    # ---- 5. payload window addressing ---------------------------------------
+    # (the gather and detect run *outside* the channel vmap — see
+    # demodulate — as one aligned-row gather + on-chip sub-window shift +
+    # one batched fused kernel, instead of B sample-granular gathers)
     head = DemodResult(
         symbols=jnp.zeros((), jnp.int16),  # filled by _payload_epilogue
         count=jnp.zeros((), jnp.int32),
@@ -218,7 +216,7 @@ def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
         found_pre=found_pre,
         t_candidate=t_cand,
     )
-    return head, xd, fine_total, t0
+    return head, fine_total, t0
 
 
 def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
@@ -304,13 +302,21 @@ def demodulate(
     if xb.shape[-1] < need:  # static: pad short buffers to the demod window
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
     if max_frames == 1:
-        head, xd, fine_total, t0 = jax.vmap(
+        head, fine_total, t0 = jax.vmap(
             lambda row: _demod_frame(row, cfg, debug)
         )(xb)
     else:
-        head, xd, fine_total, t0 = jax.vmap(
+        head, fine_total, t0 = jax.vmap(
             lambda row: _demod_multi(row, cfg, max_frames)
         )(xb)
+    # fast payload gather: whole rows on the N-grid, then the sub-window
+    # shift on-chip (sample-granular gathers run ~60x slower on TPU)
+    data_start = head.consumed
+    xd = shift_ops.shift_windows(
+        shift_ops.gather_rows(xb, data_start // cfg.N, cfg.mtu + 1, cfg.N),
+        data_start % cfg.N,
+        cfg.mtu,
+    )
     # consumed temporarily holds data_start; restore t0 for the not-found
     # lanes after the epilogue computes the real value
     if debug:  # keep the dechirped tap + spectra (the reference's dec/fft
