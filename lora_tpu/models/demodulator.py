@@ -109,22 +109,13 @@ def _coarse(x: IQ, cfg: LoRaConfig):
     return agree, pair_snr, v
 
 
-def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
-    """Stages 2-5 for one candidate preamble run starting at window pair
-    `first_w`: run-end alignment, sync scan, downchirp CFO, quarter-chirp
-    correction, payload window gather.  Scalar per candidate — vmapped over
-    frame candidates and channels by demodulate()."""
-    T = x.shape[-1]
+def _extend_run(cfg: LoRaConfig, agree, v, first_w, T: int):
+    """Extend the run of agreeing pairs at `first_w` to its end, so the
+    sync scan starts at the *tail* of the preamble regardless of preamble
+    length (the reference FSM walks the preamble one window at a time,
+    LoRaDemod.cpp:179-237; here the scan budget is MAX_SYNC_SEARCH windows
+    from t0)."""
     N = cfg.N
-    thresh = jnp.float32(cfg.thresh)
-    sync0 = cfg.sync >> 4
-    sync1 = cfg.sync & 0xF
-
-    # extend the run of agreeing pairs to its end, so the sync scan starts
-    # at the *tail* of the preamble regardless of preamble length (the
-    # reference FSM walks the preamble one window at a time,
-    # LoRaDemod.cpp:179-237; here the scan budget is MAX_SYNC_SEARCH
-    # windows from t0).
     idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
     brk = (idx_w >= first_w) & ~agree
     first_brk = jnp.where(jnp.any(brk), jnp.argmax(brk), agree.shape[0])
@@ -132,17 +123,22 @@ def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
     v_sel = v[last_w + 1]
     n_rows = MAX_SYNC_SEARCH + 4
     t_cand = (last_w * N + ((N - v_sel) % N)).astype(jnp.int32)
-    # clamp so the scan block below fits entirely: the slice start then
-    # matches t0 exactly and t_sync stays truthful even when the frame's
-    # tail is not in this buffer (callers re-aim from t_candidate)
-    t0 = jnp.clip(t_cand, 0, T - n_rows * N).astype(jnp.int32)
+    # clamp so the scan block fits entirely (n_rows + 1 aligned rows for
+    # the row+shift gather): the gathered rows then match t0 exactly and
+    # t_sync stays truthful even when the frame's tail is not in this
+    # buffer (callers re-aim from t_candidate)
+    t0 = jnp.clip(t_cand, 0, T - (n_rows + 1) * N).astype(jnp.int32)
+    return t_cand, t0
 
-    # ---- 2. FRAMESYNC scan on the aligned grid -----------------------------
-    # One gather pulls every window the scan (and the downchirp stage) can
-    # touch; the scan then row-indexes a small [n_rows, N] block instead of
-    # issuing two full-stream gathers per step (TPU gathers are the
-    # bottleneck, not the detects).
-    xs = cplx.dynamic_slice(x, (t0,), (n_rows * N,)).reshape(n_rows, N)
+
+def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
+    """Stages 2-4 on the aligned window block xs [n_rows, N] (gathered
+    outside the channel vmap on the fast row+shift path): sync scan,
+    downchirp CFO, quarter-chirp correction.  Scalar per candidate."""
+    N = cfg.N
+    thresh = jnp.float32(cfg.thresh)
+    sync0 = cfg.sync >> 4
+    sync1 = cfg.sync & 0xF
 
     def sync_step(carry, k):
         state, ferr, prev_q, k_sync = carry
@@ -199,10 +195,6 @@ def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
     data_start = t_dc + 2 * N + N // 4 + _trunc_half(freq_error)
     data_start = jnp.clip(data_start, 0, max(0, T - cfg.mtu * N)).astype(jnp.int32)
 
-    # ---- 5. payload window addressing ---------------------------------------
-    # (the gather and detect run *outside* the channel vmap — see
-    # demodulate — as one aligned-row gather + on-chip sub-window shift +
-    # one batched fused kernel, instead of B sample-granular gathers)
     head = DemodResult(
         symbols=jnp.zeros((), jnp.int16),  # filled by _payload_epilogue
         count=jnp.zeros((), jnp.int32),
@@ -216,26 +208,29 @@ def _track(x: IQ, cfg: LoRaConfig, agree, v, first_w, found_pre):
         found_pre=found_pre,
         t_candidate=t_cand,
     )
-    return head, fine_total, t0
+    return head, fine_total
 
 
-def _demod_frame(x: IQ, cfg: LoRaConfig, debug: bool):
-    """Single strongest-frame pipeline (max_frames=1): earliest agreeing
+def _align_frame(x: IQ, cfg: LoRaConfig):
+    """Single strongest-frame alignment (max_frames=1): earliest agreeing
     pair within 6 dB of the strongest (robust against noise windows passing
     the reference's permissive default threshold)."""
+    T = x.shape[-1]
     agree, pair_snr, v = _coarse(x, cfg)
     score = jnp.where(agree, pair_snr, -jnp.inf)
     good = agree & (score >= jnp.max(score) - 6.0)
     first_w = jnp.argmax(good)
     found_pre = jnp.any(good)
-    return _track(x, cfg, agree, v, first_w, found_pre)
+    t_cand, t0 = _extend_run(cfg, agree, v, first_w, T)
+    return t_cand, t0, found_pre
 
 
-def _demod_multi(x: IQ, cfg: LoRaConfig, max_frames: int):
-    """Multi-frame pipeline: the first `max_frames` runs of agreeing pairs,
-    in time order, each tracked independently (false runs fail the sync
-    scan and report found=False).  The 6 dB near-far filter is skipped —
-    coexisting frames may differ in power."""
+def _align_multi(x: IQ, cfg: LoRaConfig, max_frames: int):
+    """Multi-frame alignment: the first `max_frames` runs of agreeing pairs,
+    in time order (false runs fail the sync scan and report found=False).
+    The 6 dB near-far filter is skipped — coexisting frames may differ in
+    power."""
+    T = x.shape[-1]
     agree, _, v = _coarse(x, cfg)
     idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
     run_start = agree & ~jnp.concatenate([jnp.array([False]), agree[:-1]])
@@ -249,9 +244,10 @@ def _demod_multi(x: IQ, cfg: LoRaConfig, max_frames: int):
     starts = jnp.sort(jnp.where(run_start, idx_w, sentinel))[:max_frames]
     valid = starts < sentinel
     fw = jnp.minimum(starts, sentinel - 1)
-    return jax.vmap(
-        lambda f, val: _track(x, cfg, agree, v, f, val)
-    )(fw, valid)
+    t_cand, t0 = jax.vmap(
+        lambda f: _extend_run(cfg, agree, v, f, T)
+    )(fw)
+    return t_cand, t0, valid
 
 
 def _payload_epilogue(head: DemodResult, dd, cfg: LoRaConfig):
@@ -301,14 +297,36 @@ def demodulate(
     need = required_samples(cfg)
     if xb.shape[-1] < need:  # static: pad short buffers to the demod window
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
+    T = xb.shape[-1]
+    n_rows = MAX_SYNC_SEARCH + 4
     if max_frames == 1:
-        head, fine_total, t0 = jax.vmap(
-            lambda row: _demod_frame(row, cfg, debug)
+        t_cand, t0, found_pre = jax.vmap(
+            lambda row: _align_frame(row, cfg)
         )(xb)
     else:
-        head, fine_total, t0 = jax.vmap(
-            lambda row: _demod_multi(row, cfg, max_frames)
+        t_cand, t0, found_pre = jax.vmap(
+            lambda row: _align_multi(row, cfg, max_frames)
         )(xb)
+    # scan window block: plain XLA gather — at 17 windows/channel the block
+    # is too small to amortize the row+shift kernel's per-channel launches
+    # (measured slower), unlike the mtu-sized payload gather below
+    def _xs_one(row, t):
+        return cplx.dynamic_slice(row, (t,), (n_rows * cfg.N,)).reshape(
+            n_rows, cfg.N
+        )
+
+    if max_frames == 1:
+        xs = jax.vmap(_xs_one)(xb, t0)
+    else:
+        xs = jax.vmap(jax.vmap(_xs_one, in_axes=(None, 0)))(xb, t0)
+    if max_frames == 1:
+        head, fine_total = jax.vmap(
+            lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T)
+        )(xs, t0, t_cand, found_pre)
+    else:
+        head, fine_total = jax.vmap(
+            jax.vmap(lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T))
+        )(xs, t0, t_cand, found_pre)
     # fast payload gather: whole rows on the N-grid, then the sub-window
     # shift on-chip (sample-granular gathers run ~60x slower on TPU)
     data_start = head.consumed
