@@ -45,6 +45,7 @@ class Frame:
     freq_error: int
     payload: Optional[bytes] = None  # set by decode_frames
     status: Optional[int] = None
+    data_start: int = 0   # global sample index of the first payload symbol
 
 
 class StreamDemodulator:
@@ -53,10 +54,22 @@ class StreamDemodulator:
     feed() planar sample blocks [B, n] (any n), then drain frames().
     """
 
-    def __init__(self, cfg: LoRaConfig, channels: int, max_frames: int = 1):
+    def __init__(
+        self,
+        cfg: LoRaConfig,
+        channels: int,
+        max_frames: int = 1,
+        exact_advance: bool = False,
+    ):
         self.cfg = cfg
         self.B = channels
         self.max_frames = max_frames  # frames recovered per device step
+        # exact_advance decodes found frames inside step() and advances by
+        # the header-announced frame length instead of the mtu-padded
+        # symbol count.  The reference FSM always consumes mtu symbols
+        # (LoRaDemod.cpp:286-301) and so eats the next preamble when frames
+        # are back-to-back; this option recovers dense traffic exactly.
+        self.exact_advance = exact_advance
         self.window = required_samples(cfg)
         # no-frame stride keeps enough tail to re-see a preamble that starts
         # near the window's end
@@ -152,6 +165,9 @@ class StreamDemodulator:
                         snr=float(snr[b, k]),
                         power=float(power[b, k]),
                         freq_error=int(ferr[b, k]),
+                        data_start=int(self.offsets[b])
+                        + int(consumed[b, k])
+                        - int(counts[b, k]) * N,
                     )
                 )
                 accepted_end = max(int(consumed[b, k]), accepted_end + 1, 1)
@@ -173,6 +189,19 @@ class StreamDemodulator:
                 else:
                     advance = self.stride
             self.offsets[b] += advance
+        if self.exact_advance and frames:
+            decode_frames(frames, self.cfg)
+            for f in frames:
+                if f.status == OK:
+                    exact_end = f.data_start + self.cfg.num_symbols(
+                        len(f.payload)
+                    ) * N
+                    # pull the pointer back from the mtu-padded advance,
+                    # never past what was already consumed earlier
+                    if exact_end < self.offsets[f.channel]:
+                        self.offsets[f.channel] = max(
+                            exact_end, f.data_start
+                        )
         self._trim()
         return frames
 

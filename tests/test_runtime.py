@@ -153,3 +153,74 @@ def test_stream_multi_frame_per_step(rng):
     # frames are dense (~5300 samples apart, window ~5900): multi-frame
     # tracking must beat one-frame-per-step
     assert steps <= 4, steps
+
+
+def test_stream_soak_random_traffic(rng):
+    """Seeded soak: many frames, random payload sizes, random gaps (including
+    back-to-back), noise — every frame must be recovered exactly once and
+    decode byte-exact.  Guards the re-aim / overshoot / candidate-slot
+    interactions as a unit."""
+    cfg = LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    max_len = 12
+    cfg = cfg.replace(mtu=cfg.num_symbols(max_len) + 2)
+    n_frames = 18
+    payloads = [
+        rng.integers(0, 256, int(rng.integers(1, max_len + 1))).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    # gap after frame i must exceed the mtu overshoot past its payload
+    # (without a squelch gap the receiver emits mtu symbols and eats the
+    # next preamble — the reference FSM behaves identically,
+    # LoRaDemod.cpp:286-301), so pad each random gap by that overshoot
+    overshoot = [
+        (cfg.mtu - cfg.num_symbols(len(p))) * cfg.N + cfg.N for p in payloads
+    ]
+    base = rng.integers(0, 4000, n_frames)
+    gaps = [int(b) + (overshoot[i - 1] if i else 0)
+            for i, b in enumerate(base)]
+    chunks, pos, starts = [], 0, []
+    for p, g in zip(payloads, gaps):
+        iq = api.modulate(api.encode(jnp.asarray(p[None]), cfg), cfg)[0]
+        chunks.append(np.zeros(g, np.complex64))
+        pos += g
+        starts.append(pos)
+        x = cplx.to_complex(iq)
+        chunks.append(x)
+        pos += x.size
+    chunks.append(np.zeros(2048, np.complex64))
+    stream = np.concatenate(chunks)
+    stream += 0.05 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+
+    sd = StreamDemodulator(cfg, channels=1, max_frames=2)
+    frames = []
+    for i in range(0, stream.size, 40000):
+        sd.feed(stream[None, i : i + 40000])
+        frames.extend(sd.run())
+    frames.extend(sd.flush())
+    assert len(frames) == n_frames, (
+        len(frames), starts, [f.t_start for f in frames]
+    )
+    decode_frames(frames, cfg)
+    for f, p, s in zip(frames, payloads, starts):
+        assert abs(f.t_start - s) <= 1
+        assert f.status == 0 and f.payload == bytes(p.tolist()), (s, f.status)
+
+
+def test_stream_exact_advance_back_to_back(rng):
+    """exact_advance decodes in-step and advances by the true frame length,
+    recovering back-to-back frames the reference's mtu-consumption loses."""
+    cfg = LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(12) + 8)  # generous mtu padding
+    payloads = [rng.integers(0, 256, 4).astype(np.uint8) for _ in range(6)]
+    gaps = [40, 0, 3, 0, 17, 1]  # essentially back-to-back
+    x, starts = _make_stream(cfg, payloads, gaps, rng, noise=0.02)
+
+    sd = StreamDemodulator(cfg, channels=1, max_frames=2, exact_advance=True)
+    sd.feed(x[None])
+    frames = list(sd.run()) + sd.flush()
+    assert len(frames) == 6, [f.t_start for f in frames]
+    for f, p, s in zip(frames, payloads, starts):
+        assert abs(f.t_start - s) <= 1
+        assert f.status == 0 and f.payload == bytes(p.tolist())
