@@ -61,7 +61,11 @@ def channel_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_demodulate(
-    x: jax.Array, cfg: LoRaConfig, mesh: Mesh, debug: bool = False
+    x: jax.Array,
+    cfg: LoRaConfig,
+    mesh: Mesh,
+    debug: bool = False,
+    max_frames: int = 1,
 ) -> DemodResult:
     """Demodulate a channel bank [B, T] sharded over the whole mesh.
 
@@ -71,7 +75,7 @@ def shard_demodulate(
     """
     sh = channel_sharding(mesh)
     x = jax.lax.with_sharding_constraint(x, sh)
-    return demodulate(x, cfg, debug=debug)
+    return demodulate(x, cfg, debug=debug, max_frames=max_frames)
 
 
 def aggregate_metrics(dem: DemodResult, statuses: Optional[jax.Array] = None):
