@@ -1,0 +1,139 @@
+"""Hardware smoke test: cross-backend parity on the real TPU.
+
+The pytest suite runs on the virtual CPU mesh; this script validates the
+TPU-specific code paths (Pallas detector/shift kernels, planar transfers)
+against the CPU reference path on identical inputs.  Because backend
+routing is process-wide, the CPU reference runs in a child process with
+JAX_PLATFORMS=cpu and the parent compares on the TPU:
+
+    python tools/tpu_smoke.py          # needs the axon TPU grant
+
+Prints one JSON line per check; exits non-zero on any mismatch.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+SF_LIST = (7, 10, 12)
+
+
+def build_and_reference(path: str) -> None:
+    """Child (CPU): build inputs, compute reference outputs, save npz."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.models.demodulator import required_samples
+    from lora_tpu.ops import channelizer as chz
+    from lora_tpu.ops import cplx
+
+    rng = np.random.default_rng(0xC0FE)
+    out = {}
+    for sf in SF_LIST:
+        cfg = LoRaConfig(sf=sf, cr="4/7", ampl=1.0)
+        cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+        B = 16
+        payload = rng.integers(0, 256, (B, 16), dtype=np.uint8)
+        iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
+        T = required_samples(cfg)
+        iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
+        nz = 0.2 * rng.standard_normal((2, B, T)).astype(np.float32)
+        iq = cplx.IQ(iq.re + nz[0], iq.im + nz[1])
+        dem = api.demodulate(iq, cfg)
+        out[f"re{sf}"] = np.asarray(iq.re)
+        out[f"im{sf}"] = np.asarray(iq.im)
+        out[f"payload{sf}"] = payload
+        out[f"found{sf}"] = np.asarray(dem.found)
+        # compare only the frame's real symbols: mtu-padding windows beyond
+        # the frame detect pure noise, whose argmax is legitimately
+        # precision-dependent across backends
+        out[f"symbols{sf}"] = np.asarray(dem.symbols)[:, : cfg.num_symbols(16)]
+        out[f"tsync{sf}"] = np.asarray(dem.t_sync)
+
+    K, M = 16, 256
+    wide = rng.standard_normal((2, 2, K * M)).astype(np.float32)
+    y, _ = chz.channelize(cplx.IQ(jnp.asarray(wide[0]), jnp.asarray(wide[1])), K)
+    out["wide_re"], out["wide_im"] = wide[0], wide[1]
+    out["chan_re"], out["chan_im"] = np.asarray(y.re), np.asarray(y.im)
+    np.savez(path, **out)
+
+
+def main() -> int:
+    if "--cpu-ref" in sys.argv:
+        build_and_reference(sys.argv[-1])
+        return 0
+
+    ref_path = os.path.join(tempfile.mkdtemp(), "ref.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-ref", ref_path],
+        check=True,
+        env=env,
+    )
+    ref = np.load(ref_path)
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.ops import channelizer as chz
+    from lora_tpu.ops import cplx
+
+    if jax.default_backend() == "cpu":
+        print(json.dumps({"check": "devices", "ok": False,
+                          "err": "no accelerator visible"}))
+        return 1
+    ok_all = True
+
+    def report(name, ok, **kw):
+        nonlocal ok_all
+        ok_all &= bool(ok)
+        print(json.dumps({"check": name, "ok": bool(ok), **kw}))
+
+    for sf in SF_LIST:
+        cfg = LoRaConfig(sf=sf, cr="4/7", ampl=1.0)
+        cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+        x = cplx.IQ(jnp.asarray(ref[f"re{sf}"]), jnp.asarray(ref[f"im{sf}"]))
+        dem = api.demodulate(x, cfg)
+        dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
+        f_eq = np.array_equal(np.asarray(dem.found), ref[f"found{sf}"])
+        s_eq = np.array_equal(
+            np.asarray(dem.symbols)[:, : cfg.num_symbols(16)],
+            ref[f"symbols{sf}"],
+        )
+        t_eq = np.array_equal(np.asarray(dem.t_sync), ref[f"tsync{sf}"])
+        want = [bytes(p.tolist()) for p in ref[f"payload{sf}"]]
+        p_ok = api.extract_payloads(dec) == want
+        report(
+            f"demod_parity_sf{sf}", f_eq and s_eq and t_eq and p_ok,
+            found=f_eq, symbols=s_eq, t_sync=t_eq, payloads=p_ok,
+        )
+
+    y, _ = chz.channelize(
+        cplx.IQ(jnp.asarray(ref["wide_re"]), jnp.asarray(ref["wide_im"])), 16
+    )
+    err = float(
+        max(
+            np.abs(np.asarray(y.re) - ref["chan_re"]).max(),
+            np.abs(np.asarray(y.im) - ref["chan_im"]).max(),
+        )
+    )
+    report("channelizer_parity", err < 1e-3, max_err=err)
+
+    print(json.dumps({"check": "ALL", "ok": bool(ok_all)}))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
