@@ -33,6 +33,7 @@ __all__ = [
     "OK",
     "STATUS_NAMES",
     "extract_payloads",
+    "channelized_demodulate",
     "loopback",
 ]
 
@@ -51,6 +52,33 @@ def extract_payloads(result: DecodeResult) -> list[bytes | None]:
             o, l = int(offset[i]), int(length[i])
             out.append(bytes(data[i, o : o + l].tolist()))
     return out
+
+
+def channelized_demodulate(
+    wide,
+    K: int,
+    cfg: LoRaConfig,
+    taps_per_phase: int = 8,
+    max_frames: int = 1,
+    state=None,
+):
+    """Wideband front-end: polyphase-channelize [..., T] at rate K*BW into
+    K channels and demodulate every channel in one program (BASELINE.json
+    config 3).  Returns (DemodResult with leading [..., K] axes,
+    channelizer state for streaming continuity).
+    """
+    from .ops import channelizer as chz
+
+    wide = cplx.as_iq(wide)
+    squeeze = wide.ndim == 1
+    wb = wide if not squeeze else wide.reshape(1, -1)
+    y, new_state = chz.channelize(wb, K, taps_per_phase, state=state)
+    Bw, _, M = y.shape
+    bank = y.reshape(Bw * K, M)
+    dem = demodulate(bank, cfg, max_frames=max_frames)
+    lead = (K,) if squeeze else (Bw, K)
+    dem = jax.tree.map(lambda a: a.reshape(*lead, *a.shape[1:]), dem)
+    return dem, new_state
 
 
 def loopback(
