@@ -65,7 +65,8 @@ def main() -> None:
     for _ in range(iters):
         out = step(iq)
         np.asarray(out[2])  # host readback: the tunneled TPU runtime does
-        # not reliably await device completion in block_until_ready
+        # not reliably await device completion in block_until_ready, and
+        # queuing many un-awaited dispatches stalls it outright
     dt = time.perf_counter() - t0
 
     samples = B * T * iters
