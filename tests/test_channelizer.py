@@ -148,3 +148,29 @@ def test_channelized_demodulate_api(rng):
                 if n in payloads
             }
             assert got[c] in allowed, (c, got[c])
+
+
+def test_channelized_demodulate_streaming_state(rng):
+    """Chunked wideband processing: the channelizer state passthrough keeps
+    the filter history continuous, so a frame in the second chunk decodes
+    identically to one-shot processing."""
+    K = 16
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(5) + 2)
+    from lora_tpu.models.demodulator import required_samples
+
+    payload = rng.integers(0, 256, 5).astype(np.uint8)
+    nb = api.modulate(api.encode(jnp.asarray(payload[None]), cfg), cfg)[0]
+    lead = required_samples(cfg)  # frame sits in the 2nd half
+    need = 2 * lead + 2048
+    nb = cplx.pad(nb, ((lead + 300, need - nb.shape[-1] - lead - 300),))
+    wide = chz.upconvert(nb, K, 5)
+    T = (wide.shape[-1] // (2 * K)) * (2 * K)
+    wide = wide[..., :T]
+
+    half = T // 2
+    d1, st = api.channelized_demodulate(wide[..., :half], K, cfg)
+    d2, _ = api.channelized_demodulate(wide[..., half:], K, cfg, state=st)
+    assert bool(np.asarray(d2.found)[5])
+    dec = api.decode(d2.symbols.astype(jnp.int32), cfg)
+    assert api.extract_payloads(dec)[5] == bytes(payload.tolist())
