@@ -93,7 +93,7 @@ def _coarse(x: IQ, cfg: LoRaConfig):
     N = cfg.N
     W = T // N
     win = x[: W * N].reshape(W, N)
-    d0 = det_ops.dechirp_detect(win)
+    d0 = det_ops.dechirp_detect(win, want_f_index=False)
     snr0 = d0.power - d0.noise
     v = d0.value
     dv = jnp.abs(v[:-1] - v[1:])
@@ -343,7 +343,9 @@ def demodulate(
         dd = det_ops.detect(dec, want_mag2=True)
     else:
         dec = None
-        dd = det_ops.dechirp_detect(xd, ferr=fine_total[..., None])
+        dd = det_ops.dechirp_detect(
+            xd, ferr=fine_total[..., None], want_f_index=False
+        )
     res = _payload_epilogue(head, dd, cfg)
     res = dataclasses.replace(
         res,

@@ -113,6 +113,7 @@ def dechirp_detect(
     ferr=None,
     want_mag2: bool = False,
     fft_impl: str = "auto",
+    want_f_index: bool = True,
 ) -> DetectResult:
     """Fused dechirp + detect over sample windows [..., N].
 
@@ -134,5 +135,7 @@ def dechirp_detect(
             and pallas_detect.supported(x.shape[-1])
         )
         if use:
-            return pallas_detect.dechirp_detect_pallas(x, down, ferr)
+            return pallas_detect.dechirp_detect_pallas(
+                x, down, ferr, want_findex=want_f_index
+            )
     return detect(dechirp(x, down, ferr), want_mag2=want_mag2, fft_impl=fft_impl)

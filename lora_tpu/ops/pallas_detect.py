@@ -50,9 +50,12 @@ def _tile_windows(N: int) -> int:
     return min(tw, 16) if N >= 4096 else tw
 
 
-def _finish(mag2, bins, N, value, power, noise, findex):
+def _finish(mag2, bins, N, value, power, noise, findex, want_findex=True):
     """Shared peak-search epilogue over mag2 with a bin-index map `bins`
-    (any trailing layout; reductions collapse every axis but the first)."""
+    (any trailing layout; reductions collapse every axis but the first).
+    want_findex=False (static) skips the fractional-bin interpolation — a
+    full-array sqrt plus two masked reductions — for consumers that only
+    read value/power/noise (the demodulator's coarse and payload stages)."""
     axes = tuple(range(1, mag2.ndim))
 
     def red(op, v):
@@ -64,6 +67,16 @@ def _finish(mag2, bins, N, value, power, noise, findex):
     total = red(jnp.sum, mag2)
     pk = peak2.reshape(peak2.shape[0], *([1] * (mag2.ndim - 1)))
     val = red(jnp.min, jnp.where(mag2 == pk, bins, N))
+    fund = jnp.sqrt(peak2)
+    noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
+    scale = jnp.float32(20.0 * np.log10(N))
+    db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
+    value[:] = val
+    power[:] = db(fund)
+    noise[:] = db(noise_amp)
+    if not want_findex:
+        findex[:] = jnp.zeros_like(fund)
+        return
     lbin = jnp.where(val == 0, N - 1, val - 1)
     rbin = jnp.where(val == N - 1, 0, val + 1)
     lb = lbin.reshape(pk.shape)
@@ -71,15 +84,7 @@ def _finish(mag2, bins, N, value, power, noise, findex):
     mag = jnp.sqrt(mag2)
     left = red(jnp.sum, jnp.where(bins == lb, mag, 0.0))
     right = red(jnp.sum, jnp.where(bins == rb, mag, 0.0))
-
-    fund = jnp.sqrt(peak2)
-    noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
-    scale = jnp.float32(20.0 * np.log10(N))
-    db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
     denom = 2.0 * fund - right - left
-    value[:] = val
-    power[:] = db(fund)
-    noise[:] = db(noise_amp)
     findex[:] = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
 
 
@@ -97,7 +102,7 @@ def _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr):
 
 
 def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
-            *, has_ferr=True):
+            *, has_ferr=True, want_findex=True):
     """Direct-DFT variant (N <= 256): S = Z @ F, one MXU matmul pair."""
     TW, N = xr.shape
     zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
@@ -106,12 +111,12 @@ def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
     si = dot(zr, fi) + dot(zi, fr)
     mag2 = sr * sr + si * si
     bins = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1)
-    _finish(mag2, bins, N, value, power, noise, findex)
+    _finish(mag2, bins, N, value, power, noise, findex, want_findex)
 
 
 def _kernel4(
     xr, xi, cr, ci, fe, f1r, f1i, twr, twi,
-    value, power, noise, findex, *, w2, has_ferr=True,
+    value, power, noise, findex, *, w2, has_ferr=True, want_findex=True,
 ):
     """Four-step variant (512 <= N <= 4096): N = n1*n2, n1 = 128 minor.
 
@@ -167,6 +172,16 @@ def _kernel4(
                 jnp.where(mags[k2] == peak2, bins_g, N), axis=1, keepdims=True
             ),
         )
+    fund = jnp.sqrt(peak2)
+    noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
+    scale = jnp.float32(20.0 * np.log10(N))
+    db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
+    value[:] = val
+    power[:] = db(fund)
+    noise[:] = db(noise_amp)
+    if not want_findex:
+        findex[:] = jnp.zeros_like(fund)
+        return
     lbin = jnp.where(val == 0, N - 1, val - 1)
     rbin = jnp.where(val == N - 1, 0, val + 1)
     left = jnp.zeros((TW, 1), jnp.float32)
@@ -180,21 +195,14 @@ def _kernel4(
         right = right + jnp.sum(
             jnp.where(bins_g == rbin, mag, 0.0), axis=1, keepdims=True
         )
-
-    fund = jnp.sqrt(peak2)
-    noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
-    scale = jnp.float32(20.0 * np.log10(N))
-    db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
     denom = 2.0 * fund - right - left
-    value[:] = val
-    power[:] = db(fund)
-    noise[:] = db(noise_amp)
     findex[:] = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
 
 
-@functools.partial(jax.jit, static_argnames=("down", "interpret", "has_ferr"))
+@functools.partial(jax.jit, static_argnames=("down", "interpret", "has_ferr",
+                                              "want_findex"))
 def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
-                 has_ferr: bool = True):
+                 has_ferr: bool = True, want_findex: bool = True):
     """x: IQ [M, N] dechirp windows, ferr: f32 [M]; M % TW == 0."""
     M, N = x.shape
     TW = _tile_windows(N)
@@ -222,7 +230,9 @@ def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
         ferr[:, None].astype(jnp.float32),
     ]
     if N <= MAX_DIRECT_N:
-        kernel = functools.partial(_kernel, has_ferr=has_ferr)
+        kernel = functools.partial(
+            _kernel, has_ferr=has_ferr, want_findex=want_findex
+        )
         fre, fim = _dft_matrix_np(N)
         in_specs = common_in + [cspec((N, N)), cspec((N, N))]
         args = common_args + [jnp.asarray(fre), jnp.asarray(fim)]
@@ -232,7 +242,8 @@ def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
         n2 = N // n1
         f1re, f1im = _dft_matrix_np(n1)
         kernel = functools.partial(
-            _kernel4, w2=_dft_matrix_np(n2), has_ferr=has_ferr
+            _kernel4, w2=_dft_matrix_np(n2), has_ferr=has_ferr,
+            want_findex=want_findex,
         )
         twre, twim = _twiddle_np(n2, n1)  # T[k2, j1] = exp(-2pi i j1 k2 / N)
         in_specs = common_in + [
@@ -282,7 +293,8 @@ def supported(N: int) -> bool:
 
 
 def dechirp_detect_pallas(
-    x, down: bool = False, ferr=None, interpret: bool = False
+    x, down: bool = False, ferr=None, interpret: bool = False,
+    want_findex: bool = True,
 ):
     """Fused dechirp+detect over windows [..., N] (drop-in for
     detect.dechirp_detect, minus debug mag2).  Power-of-two N up to
@@ -308,7 +320,7 @@ def dechirp_detect_pallas(
         xf = cplx.pad(xf, ((0, pad), (0, 0)))
         fe = jnp.pad(fe, (0, pad))
     value, power, noise, findex = _detect_flat(
-        xf, fe, down, interpret, has_ferr
+        xf, fe, down, interpret, has_ferr, want_findex
     )
 
     def shp(a):
