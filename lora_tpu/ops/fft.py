@@ -56,10 +56,14 @@ def _twiddle(n1: int, n2: int) -> IQ:
 
 
 def _split(n: int) -> tuple[int, int]:
-    """n = n1*n2 with n1 = 128: the first-stage DFT contraction matches the
-    MXU's 128-wide systolic dimension exactly, and the second stage (n2 <=
-    32) carries ~n1/n2 x fewer FLOPs, so its smaller contraction is cheap."""
+    """n = n1*n2 with n1 = 128 where possible: the first-stage DFT
+    contraction matches the MXU's 128-wide systolic dimension exactly, and
+    the second stage (n2 <= 32) carries ~n1/n2 x fewer FLOPs, so its
+    smaller contraction is cheap.  Both factors are kept >= 8 (module
+    header contract), so 512 factors as 64 x 8 rather than 128 x 4."""
     n1 = min(128, n)
+    if 0 < n // n1 < 8:
+        n1 = n // 8
     return n1, n // n1
 
 

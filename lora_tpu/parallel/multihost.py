@@ -35,10 +35,8 @@ def initialize(
     jax.process_count()/jax.devices(); this wrapper therefore probes the
     distributed client state, not the backend.
     """
-    client = getattr(
-        jax._src.distributed.global_state, "client", None  # noqa: SLF001
-    )
-    if client is not None:
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
         return  # already initialized
     kw = {}
     if coordinator is not None:
@@ -47,7 +45,13 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kw)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError:
+        # already-initialized race on jax versions without is_initialized()
+        if is_init is None:
+            return
+        raise
 
 
 def global_mesh(time: int | None = None) -> Mesh:

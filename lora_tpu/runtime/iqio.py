@@ -104,8 +104,10 @@ def convert(raw: bytes | np.ndarray, fmt: str, scale: float | None = None):
             n,
             scale,
         )
-    else:  # numpy fallback
-        f = buf.astype(np.float32).reshape(n, 2)
+    else:  # numpy fallback; trim odd trailing scalars (truncated capture
+        # tail / short SDR read) so this path matches the native one, which
+        # processes n = size // 2 samples
+        f = buf[: 2 * n].astype(np.float32).reshape(n, 2)
         if fmt == "cu8":
             f = f - 127.5
         re[:] = scale * f[:, 0]
