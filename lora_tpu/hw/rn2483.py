@@ -28,6 +28,13 @@ class RN2483:
                 "RN2483 control needs pyserial (pip install pyserial)"
             ) from e
         self._ser = serial.Serial(port, baud, timeout=timeout)
+        # reset to a known state before configuring, as the reference does
+        # on connect (RN2483.py:22); the reply is the firmware banner
+        self.reset()
+
+    def reset(self) -> str:
+        """`sys reset` and return the firmware banner line."""
+        return self.command("sys reset")
 
     # -- protocol ------------------------------------------------------------
     def command(self, cmd: str) -> str:

@@ -46,6 +46,7 @@ import numpy as np
 from ..config import LoRaConfig
 from ..ops import cplx
 from ..ops import detect as det_ops
+from ..ops import pallas_demod
 from ..ops import shift as shift_ops
 from ..ops.cplx import IQ
 
@@ -69,16 +70,32 @@ class DemodResult:
     consumed: jax.Array    # int32 [...] samples consumed through the packet
     found_pre: Optional[jax.Array] = None   # bool [...] coarse preamble hit
     t_candidate: Optional[jax.Array] = None # int32 [...] coarse-aligned start
+    # bool [...]: found AND the whole mtu payload lies inside this buffer
+    # (False => data_start was clamped and `symbols` are truncated garbage;
+    # callers streaming across buffers should re-aim from t_candidate)
+    payload_complete: Optional[jax.Array] = None
     dec: Optional[IQ] = None          # planar IQ [..., mtu, N] dechirped (debug)
     fft_mag2: Optional[jax.Array] = None  # float32 [..., mtu, N] spectra (debug)
+    raw: Optional[IQ] = None  # planar IQ [..., mtu, N] aligned payload sample
+    #                           windows (the reference's `raw` input-copy tap,
+    #                           LoRaDemod.cpp:81,152-154) (debug)
+
+
+def _payload_gather_rows(cfg: LoRaConfig) -> int:
+    """Aligned rows the payload stage gathers per frame (>= mtu+1; padded
+    to the fused kernel's tile grid so CPU and TPU paths share one
+    data_start clipping bound and stay bit-identical)."""
+    return pallas_demod.payload_rows(cfg.N, cfg.mtu)
 
 
 def required_samples(cfg: LoRaConfig, search_symbols: int = 4) -> int:
     """Minimum buffer length for demodulate(): search margin + preamble +
-    sync + downchirps + quarter + MTU payload + retime slack."""
+    sync + downchirps + quarter + MTU payload (padded to the payload
+    gather grid) + retime slack."""
     N = cfg.N
     head = cfg.preamble_symbols + 2 + 2 + 1
-    return (search_symbols + head + cfg.mtu + 1) * N + N // 4
+    rows = max(cfg.mtu + 1, _payload_gather_rows(cfg))
+    return (search_symbols + head + rows) * N + N // 4
 
 
 def _trunc_half(x: jax.Array) -> jax.Array:
@@ -193,7 +210,9 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
     # ---- 4. quarter-chirp joint time/frequency correction ------------------
     fine_total = ferr + _trunc_half(freq_error).astype(jnp.float32)
     data_start = t_dc + 2 * N + N // 4 + _trunc_half(freq_error)
-    data_start = jnp.clip(data_start, 0, max(0, T - cfg.mtu * N)).astype(jnp.int32)
+    room = max(0, T - _payload_gather_rows(cfg) * N)
+    fits = data_start <= room
+    data_start = jnp.clip(data_start, 0, room).astype(jnp.int32)
 
     head = DemodResult(
         symbols=jnp.zeros((), jnp.int16),  # filled by _payload_epilogue
@@ -207,6 +226,7 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
         consumed=data_start,  # finalized with count in _payload_epilogue
         found_pre=found_pre,
         t_candidate=t_cand,
+        payload_complete=found & fits,
     )
     return head, fine_total
 
@@ -274,22 +294,68 @@ def _payload_epilogue(head: DemodResult, dd, cfg: LoRaConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "debug", "max_frames"))
+def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
+                 interpret: bool):
+    """Stages 2-4 as one fused Pallas launch (ops/pallas_demod.track):
+    row-granular gather of the scan block, in-kernel sub-window roll, sync
+    scan + downchirp CFO.  Output-identical to the vmapped _scan_track."""
+    N = cfg.N
+    rows = shift_ops.gather_rows(
+        xb, t0 // N, pallas_demod.TRACK_ROWS, N
+    )
+    tr = pallas_demod.track(
+        rows, t0 % N, cfg.sync, cfg.thresh, interpret=interpret
+    )
+    found = found_pre & tr["synced"]
+    k_sync = tr["k_sync"]
+    freq_error = tr["freq_error"]
+    fine_total = tr["fine_total"]
+    t_dc = t0 + (k_sync + 2) * N
+    data_start = t_dc + 2 * N + N // 4 + _trunc_half(freq_error)
+    room = max(0, T - _payload_gather_rows(cfg) * N)
+    fits = data_start <= room
+    data_start = jnp.clip(data_start, 0, room).astype(jnp.int32)
+    head = DemodResult(
+        symbols=jnp.zeros((), jnp.int16),
+        count=jnp.zeros((), jnp.int32),
+        found=found,
+        freq_error=jnp.where(found, freq_error, 0),
+        fine_freq=jnp.where(found, fine_total, 0.0),
+        power=tr["power"],
+        snr=tr["snr"],
+        t_sync=(t0 + k_sync * N).astype(jnp.int32),
+        consumed=data_start,
+        found_pre=found_pre,
+        t_candidate=t_cand,
+        payload_complete=found & fits,
+    )
+    return head, fine_total
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused")
+)
 def demodulate(
-    x: jax.Array, cfg: LoRaConfig, debug: bool = False, max_frames: int = 1
+    x: jax.Array, cfg: LoRaConfig, debug: bool = False, max_frames: int = 1,
+    fused: str = "auto",
 ):
     """Demodulate frames out of each channel buffer.
 
     x: planar IQ (or complex array, converted) [B, T] (or [T]) baseband at
     1 sample/chip; buffers shorter than required_samples(cfg) are padded.
     Returns a :class:`DemodResult`; with debug=True it also carries the
-    dechirped payload windows and their spectra (the reference's `dec`/`fft`
-    debug ports, LoRaDemod.cpp:81-83).
+    aligned payload sample windows, their dechirped copies and spectra (the
+    reference's `raw`/`dec`/`fft` debug ports, LoRaDemod.cpp:81-83).
 
     max_frames > 1 tracks up to that many frames per buffer in one call
     (result leaves gain a trailing candidate axis [..., K]; candidates are
     time-ordered, unused slots report found=False).  Memory and payload
     compute scale with K.
+
+    fused: "auto" routes the tracking + payload stages to the fused Pallas
+    kernels on TPU backends; "off" forces the XLA reference path;
+    "interpret" runs the fused kernels in interpreter mode on any backend
+    (cross-validation in tests).
     """
     x = cplx.as_iq(x)
     squeeze = x.ndim == 1
@@ -299,6 +365,10 @@ def demodulate(
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
     T = xb.shape[-1]
     n_rows = MAX_SYNC_SEARCH + 4
+    interpret = fused == "interpret"
+    use_fused = pallas_demod.supported(cfg.N) and (
+        interpret or (fused == "auto" and jax.default_backend() == "tpu")
+    )
     if max_frames == 1:
         t_cand, t0, found_pre = jax.vmap(
             lambda row: _align_frame(row, cfg)
@@ -307,51 +377,70 @@ def demodulate(
         t_cand, t0, found_pre = jax.vmap(
             lambda row: _align_multi(row, cfg, max_frames)
         )(xb)
-    # scan window block: plain XLA gather — at 17 windows/channel the block
-    # is too small to amortize the row+shift kernel's per-channel launches
-    # (measured slower), unlike the mtu-sized payload gather below
-    def _xs_one(row, t):
-        return cplx.dynamic_slice(row, (t,), (n_rows * cfg.N,)).reshape(
-            n_rows, cfg.N
+    if use_fused:
+        head, fine_total = _fused_track(
+            xb, cfg, t0, t_cand, found_pre, T, interpret
         )
+    else:
+        # scan window block: plain XLA gather, one sample-granular slice
+        # per channel
+        def _xs_one(row, t):
+            return cplx.dynamic_slice(row, (t,), (n_rows * cfg.N,)).reshape(
+                n_rows, cfg.N
+            )
 
-    if max_frames == 1:
-        xs = jax.vmap(_xs_one)(xb, t0)
-    else:
-        xs = jax.vmap(jax.vmap(_xs_one, in_axes=(None, 0)))(xb, t0)
-    if max_frames == 1:
-        head, fine_total = jax.vmap(
-            lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T)
-        )(xs, t0, t_cand, found_pre)
-    else:
-        head, fine_total = jax.vmap(
-            jax.vmap(lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T))
-        )(xs, t0, t_cand, found_pre)
+        if max_frames == 1:
+            xs = jax.vmap(_xs_one)(xb, t0)
+        else:
+            xs = jax.vmap(jax.vmap(_xs_one, in_axes=(None, 0)))(xb, t0)
+        if max_frames == 1:
+            head, fine_total = jax.vmap(
+                lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T)
+            )(xs, t0, t_cand, found_pre)
+        else:
+            head, fine_total = jax.vmap(
+                jax.vmap(lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T))
+            )(xs, t0, t_cand, found_pre)
     # fast payload gather: whole rows on the N-grid, then the sub-window
     # shift on-chip (sample-granular gathers run ~60x slower on TPU)
     data_start = head.consumed
-    xd = shift_ops.shift_windows(
-        shift_ops.gather_rows(xb, data_start // cfg.N, cfg.mtu + 1, cfg.N),
-        data_start % cfg.N,
-        cfg.mtu,
-    )
+    dec = raw = None
+    if use_fused and not debug:
+        # fully fused payload: gather rows once; roll + dechirp + DFT +
+        # peak happen in VMEM (ops/pallas_demod.payload_detect)
+        g = shift_ops.gather_rows(
+            xb, data_start // cfg.N, _payload_gather_rows(cfg), cfg.N
+        )
+        val, pwr, nse = pallas_demod.payload_detect(
+            g, data_start % cfg.N, fine_total, cfg.mtu, interpret=interpret
+        )
+        dd = det_ops.DetectResult(
+            value=val, power=pwr, noise=nse, f_index=jnp.zeros_like(pwr)
+        )
+    else:
+        xd = shift_ops.shift_windows(
+            shift_ops.gather_rows(xb, data_start // cfg.N, cfg.mtu + 1, cfg.N),
+            data_start % cfg.N,
+            cfg.mtu,
+        )
+        if debug:  # keep the raw/dechirped taps + spectra (the reference's
+            # raw/dec/fft debug ports); the fast path fuses everything
+            raw = xd
+            dec = det_ops.dechirp(xd, ferr=fine_total[..., None])
+            dd = det_ops.detect(dec, want_mag2=True)
+        else:
+            dd = det_ops.dechirp_detect(
+                xd, ferr=fine_total[..., None], want_f_index=False
+            )
     # consumed temporarily holds data_start; restore t0 for the not-found
     # lanes after the epilogue computes the real value
-    if debug:  # keep the dechirped tap + spectra (the reference's dec/fft
-        # debug ports); the fast path fuses everything in one kernel
-        dec = det_ops.dechirp(xd, ferr=fine_total[..., None])
-        dd = det_ops.detect(dec, want_mag2=True)
-    else:
-        dec = None
-        dd = det_ops.dechirp_detect(
-            xd, ferr=fine_total[..., None], want_f_index=False
-        )
     res = _payload_epilogue(head, dd, cfg)
     res = dataclasses.replace(
         res,
         consumed=jnp.where(res.found, res.consumed, t0).astype(jnp.int32),
         dec=dec,
         fft_mag2=dd.mag2 if debug else None,
+        raw=raw,
     )
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)

@@ -48,6 +48,27 @@ def preamble_nums(cfg: LoRaConfig):
     return jnp.concatenate(segs), carry
 
 
+def tx_frame_events(cfg: LoRaConfig, num_symbols: int) -> dict:
+    """Per-frame TX sample-index metadata — the TPU-side equivalent of the
+    reference modulator's output-stream state labels and `txEnd` label
+    (LoRaMod.cpp:226,233-236).  All offsets index into the corresponding
+    `modulate()` output row (static per config + symbol count), for
+    aligning hardware captures with emitted frames."""
+    NN = cfg.NN
+    t_sync = cfg.preamble_symbols * NN
+    t_down = t_sync + 2 * NN
+    t_data = t_down + 2 * NN + NN // 4
+    t_end = t_data + num_symbols * NN
+    return {
+        "t_preamble": 0,
+        "t_sync": t_sync,
+        "t_downchirps": t_down,
+        "t_data": t_data,
+        "tx_end": t_end,
+        "t_pad_end": t_end + cfg.padding * NN,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def modulate(symbols: jax.Array, cfg: LoRaConfig) -> jax.Array:
     """Modulate frames.

@@ -1,0 +1,482 @@
+"""Fused demodulator-stage Pallas TPU kernels.
+
+Round-1 profiling (docs/SCALING.md) showed the demodulator spending most of
+its non-dispatch time between kernels, not inside them: the payload path
+materialized gathered rows, a shifted copy, and the detector input through
+HBM three times, and the 13-step sync scan ran as ~26 sequential XLA
+launches.  This module fuses both stages:
+
+  * :func:`payload_detect` — one kernel turns aligned N-sample rows into
+    detected payload symbols: per-channel sub-window roll (the
+    ``data_start % N`` alignment), dechirp + fine-CFO derotation, DFT (MXU
+    matmuls), and peak search, all in VMEM.  Replaces the
+    ops/shift.py -> ops/pallas_detect.py pair with a single pass: HBM
+    traffic drops from ~5 row-array movements to 1 read.
+  * :func:`track` — one kernel runs the whole FRAMESYNC-equivalent
+    tracking stage per channel: sub-window roll of the 17 aligned scan
+    windows, the MAX_SYNC_SEARCH-step sync-word scan with two-symbol
+    lookahead and fine-CFO integration (LoRaDemod.cpp:183-237), the
+    downchirp pair -> coarse CFO (:246-265), entirely in VMEM with
+    per-channel state carried in vector registers.  Replaces ~26
+    dependent XLA dispatches with one launch.
+
+Both kernels reuse the in-kernel DFT/peak helpers from ops/pallas_detect
+(direct matrix for N <= 256, four-step 128 x n2 factorization above), so
+detector arithmetic is identical to the batched detector's.
+
+Reference behavior preserved: LoRaDemod.cpp:145-327 (FSM states), quirks
+documented in models/demodulator.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import cplx
+from .chirp import _dechirp_table_np
+from .cplx import IQ
+from .fft import _dft_matrix_np, _twiddle_np
+from .pallas_detect import (
+    MAX_DIRECT_N,
+    dechirp_derotate_vals,
+    direct_vals,
+    four_step_vals,
+    supported,
+)
+
+N_SCAN = 13          # MAX_SYNC_SEARCH in models/demodulator.py
+N_TRACK_WIN = N_SCAN + 4   # scan + 2 downchirps + quarter margin
+TRACK_ROWS = N_TRACK_WIN + 1  # aligned rows needed (one extra for the roll)
+
+
+# --------------------------------------------------------------------------
+# geometry helpers (static; shared by both jit backends so clipping bounds
+# and golden outputs stay bit-identical across CPU/TPU paths)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def payload_geometry(N: int, mtu: int) -> tuple[int, int, int]:
+    """(windows_per_tile, tiles, gathered_rows) for the payload kernel.
+
+    The kernel processes TWM windows per grid cell; window w needs aligned
+    rows w and w+1, so each channel gathers Rp >= mtu+1 rows.  TWM divides
+    the 8-padded window count exactly so output blocks stay 8-row aligned;
+    when that needs multiple tiles, an extra 8 gathered rows provide the
+    next-tile roll context.
+    """
+    cap = max(8, min(128, (1 << 19) // (N * 4)))
+    m = mtu // 8 + 1  # 8*m rows strictly > mtu: row mtu is always gathered
+    best = max(d for d in range(1, m + 1) if m % d == 0 and 8 * d <= cap)
+    twm = 8 * best
+    tiles = m // best
+    rp = 8 * m if tiles == 1 else 8 * m + 8
+    return twm, tiles, rp
+
+
+def payload_rows(N: int, mtu: int) -> int:
+    """Aligned rows each channel must gather for payload_detect."""
+    return payload_geometry(N, mtu)[2]
+
+
+def _track_tc(N: int) -> int:
+    """Channels per track-kernel grid cell.  Multiples of 8 only: Mosaic
+    requires output blocks of (TC, 1) to have TC % 8 == 0.  The floor of 8
+    is safe VMEM-wise even at N=4096 (inputs 2x8x18xNx4 double-buffered +
+    34 (TC,N) window scratches ~= 19 MB < the 40 MB limit below)."""
+    tc = (1 << 21) // (TRACK_ROWS * N * 4)
+    return max(8, min(32, (tc // 8) * 8))
+
+
+# --------------------------------------------------------------------------
+# shared in-kernel pieces
+# --------------------------------------------------------------------------
+
+def _detect_args(N: int):
+    """Static (specs, arrays, kernel-side detect closure factory) for the
+    direct / four-step DFT variants."""
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    if N <= MAX_DIRECT_N:
+        fre, fim = _dft_matrix_np(N)
+        specs = [const((N, N)), const((N, N))]
+        arrays = [jnp.asarray(fre), jnp.asarray(fim)]
+
+        def make(refs):
+            fr, fi = (r[:] for r in refs)
+
+            def det(zr, zi, want_findex):
+                return direct_vals(zr, zi, fr, fi, want_findex)
+
+            return det
+
+        return specs, arrays, make
+    n1 = 128
+    n2 = N // n1
+    f1re, f1im = _dft_matrix_np(n1)
+    twre, twim = _twiddle_np(n2, n1)
+    w2 = _dft_matrix_np(n2)
+    specs = [const((n1, n1)), const((n1, n1)), const((n2, n1)),
+             const((n2, n1))]
+    arrays = [jnp.asarray(f1re), jnp.asarray(f1im), jnp.asarray(twre),
+              jnp.asarray(twim)]
+
+    def make(refs):
+        f1r, f1i, twr, twi = (r[:] for r in refs)
+
+        def det(zr, zi, want_findex):
+            return four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex)
+
+        return det
+
+    return specs, arrays, make
+
+
+# The sub-window alignment r works per LANE-rolled rows: with
+# a[w] = roll(rows[w], -r) (cyclic within the row), the true window
+# w = rows[w][r:] ++ rows[w+1][:r] equals
+#     where(lane < N - r, a[w], a[w+1])
+# — lane i < N-r reads rows[w][i+r], lane i >= N-r reads
+# rows[w+1][i+r-N].  Mosaic's layout engine cannot concatenate or select
+# sublane-rolled *values*, so both kernels stage the lane-rolled rows
+# through a VMEM scratch and blend row pairs with static-offset ref loads.
+
+
+def _lane_mask(N, r):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    return lane < (N - r)
+
+
+def _trunc_half_i32(x):
+    """C-style integer division by 2 (truncates toward zero)."""
+    return jnp.sign(x) * (jnp.abs(x) // 2)
+
+
+# --------------------------------------------------------------------------
+# payload kernel: roll + dechirp + derotate + DFT + peak in one pass
+# --------------------------------------------------------------------------
+
+def _payload_kernel_factory(N, TWM, tiles, make_det):
+    def kernel(rs, fes, ar, ai, br, bi, cr, ci, *rest):
+        det_refs = rest[: len(rest) - 5]
+        value, power, noise = rest[len(rest) - 5: len(rest) - 2]
+        s_r, s_i = rest[len(rest) - 2:]
+        b = pl.program_id(0)
+        r = rs[b]
+        fe = fes[b]
+        det = make_det(det_refs)
+        sh = (N - r) % N
+        s_r[0:TWM, :] = pltpu.roll(ar[0], sh, 1)
+        s_i[0:TWM, :] = pltpu.roll(ai[0], sh, 1)
+        s_r[TWM : TWM + 8, :] = pltpu.roll(br[0], sh, 1)
+        s_i[TWM : TWM + 8, :] = pltpu.roll(bi[0], sh, 1)
+        mask = _lane_mask(N, r)
+        win_r = jnp.where(mask, s_r[0:TWM, :], s_r[1 : TWM + 1, :])
+        win_i = jnp.where(mask, s_i[0:TWM, :], s_i[1 : TWM + 1, :])
+        zr, zi = dechirp_derotate_vals(win_r, win_i, cr[:], ci[:], fe)
+        val, pwr, nse, _ = det(zr, zi, False)
+        value[0] = val
+        power[0] = pwr
+        noise[0] = nse
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mtu", "interpret")
+)
+def _payload_flat(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
+                  interpret: bool):
+    """g: IQ [B, Rp, N] aligned rows; rs: int32 [B] sub-window shifts;
+    fe: float32 [B] fine CFO -> (value i32, power f32, noise f32) [B, mtu]."""
+    B, Rp, N = g.shape
+    TWM, tiles, rp_need = payload_geometry(N, mtu)
+    assert Rp == rp_need, (Rp, rp_need)
+    M8 = TWM * tiles
+    det_specs, det_arrays, make_det = _detect_args(N)
+    row3 = lambda b, t, *_: (b, t, 0)
+    if tiles == 1:
+        nxt3 = lambda b, t, *_: (b, 0, 0)  # wrap rows discarded
+    else:
+        # next-tile roll context: first 8 rows after this tile's block
+        nxt3 = lambda b, t, *_: (b, jnp.minimum((t + 1) * TWM, M8) // 8, 0)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    cre, cim = _dechirp_table_np(N, False)
+    in_specs = [
+        pl.BlockSpec((1, TWM, N), row3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TWM, N), row3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, N), nxt3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, N), nxt3, memory_space=pltpu.VMEM),
+        const((1, N)),
+        const((1, N)),
+    ] + det_specs
+    out_spec = pl.BlockSpec(
+        (1, TWM, 1), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, tiles),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        scratch_shapes=[pltpu.VMEM((TWM + 8, N), jnp.float32)] * 2,
+    )
+    kernel = _payload_kernel_factory(N, TWM, tiles, make_det)
+    value, power, noise = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M8, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, M8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, M8, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * M8 * N * (min(N, 128) + max(1, N // 128)),
+            bytes_accessed=B * Rp * N * 8 + B * M8 * 12,
+            transcendentals=2 * B * M8 * N,
+        ),
+        interpret=interpret,
+    )(rs.astype(jnp.int32),
+      fe.astype(jnp.float32),
+      g.re, g.im, g.re, g.im,
+      jnp.asarray(cre)[None], jnp.asarray(cim)[None],
+      *det_arrays)
+    return (
+        value[:, :mtu, 0],
+        power[:, :mtu, 0],
+        noise[:, :mtu, 0],
+    )
+
+
+def payload_detect(g, rs, fe, mtu: int, interpret: bool = False):
+    """Fused payload stage: aligned rows g (IQ [..., Rp, N], Rp =
+    payload_rows(N, mtu)), per-channel shift rs = data_start % N and fine
+    CFO fe -> (value, power, noise) with shape [..., mtu].
+
+    Window w of channel c is g[c, w, rs[c]:] ++ g[c, w+1, :rs[c]]
+    dechirp-detected with derotation exp(-2j pi fe n / N) — exactly
+    shift.shift_windows + detect.dechirp_detect(want_f_index=False), in one
+    HBM pass."""
+    g = cplx.as_iq(g)
+    *lead, Rp, N = g.shape
+    B = int(np.prod(lead)) if lead else 1
+    gf = g.reshape(B, Rp, N)
+    rsf = jnp.broadcast_to(jnp.asarray(rs), tuple(lead)).reshape(B)
+    fef = jnp.broadcast_to(jnp.asarray(fe), tuple(lead)).reshape(B)
+    value, power, noise = _payload_flat(gf, rsf, fef, mtu, interpret)
+    shp = lambda a: a.reshape(*lead, mtu)
+    return shp(value), shp(power), shp(noise)
+
+
+# --------------------------------------------------------------------------
+# track kernel: sync scan + lookahead + downchirp CFO in one launch
+# --------------------------------------------------------------------------
+
+def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
+    NW = N_TRACK_WIN
+
+    def kernel(rs, xr, xi, cur, cui, cdr, cdi, *rest):
+        n_scratch = 2 * NW + 2
+        det_refs = rest[: len(rest) - 6 - n_scratch]
+        outs = rest[len(rest) - 6 - n_scratch: len(rest) - n_scratch]
+        o_state, o_ksync, o_fqerr, o_ferr, o_pwr, o_snr = outs
+        swr = rest[len(rest) - n_scratch: len(rest) - NW - 2]
+        swi = rest[len(rest) - NW - 2: len(rest) - 2]
+        s_r, s_i = rest[len(rest) - 2:]
+        i = pl.program_id(0)
+        det = make_det(det_refs)
+        cu_r, cu_i = cur[:], cui[:]
+        cd_r, cd_i = cdr[:], cdi[:]
+
+        # 1. per-channel sub-window alignment roll into the window scratch
+        #    (lane-roll staged through s_r/s_i; see _lane_mask notes)
+        for c in range(TC):
+            r = rs[i * TC + c]
+            sh = (N - r) % N
+            s_r[:, :] = pltpu.roll(xr[c], sh, 1)
+            s_i[:, :] = pltpu.roll(xi[c], sh, 1)
+            mask = _lane_mask(N, r)
+            for k in range(NW):
+                swr[k][c : c + 1, :] = jnp.where(
+                    mask, s_r[k : k + 1, :], s_r[k + 1 : k + 2, :]
+                )
+                swi[k][c : c + 1, :] = jnp.where(
+                    mask, s_i[k : k + 1, :], s_i[k + 1 : k + 2, :]
+                )
+
+        # 2. sync scan with two-symbol lookahead and fine-CFO integration
+        #    (models/demodulator._scan_track, LoRaDemod.cpp:183-237)
+        state = jnp.zeros((TC, 1), jnp.int32)
+        ferr = jnp.zeros((TC, 1), jnp.float32)
+        prev_q = jnp.full((TC, 1), 999, jnp.int32)
+        k_sync = jnp.zeros((TC, 1), jnp.int32)
+        thr = jnp.float32(thresh)
+        for k in range(N_SCAN):
+            zr, zi = dechirp_derotate_vals(
+                swr[k][:], swi[k][:], cu_r, cu_i, ferr
+            )
+            val, pwr, nse, fidx = det(zr, zi, True)
+            squelched = (pwr - nse) < thr
+            q = (val + 4) // 8
+            z1r, z1i = dechirp_derotate_vals(
+                swr[k + 1][:], swi[k + 1][:], cu_r, cu_i, ferr
+            )
+            val1, _, _, _ = det(z1r, z1i, False)
+            q1 = (val1 + 4) // 8
+            searching = state == 0
+            is_sync = (
+                searching
+                & ~squelched
+                & (prev_q == 0)
+                & (q == sync0)
+                & (q1 == sync1)
+            )
+            state = jnp.where(is_sync, 1, state)
+            k_sync = jnp.where(is_sync, k, k_sync)
+            ferr = jnp.where(
+                searching & ~is_sync & ~squelched,
+                ferr + fidx,
+                jnp.where(searching & squelched, 0.0, ferr),
+            )
+            prev_q = jnp.where(searching, q, prev_q)
+
+        # 3. downchirp pair at k_sync+2 / k_sync+3 (masked row select)
+        dc0r = jnp.zeros((TC, N), jnp.float32)
+        dc0i = jnp.zeros((TC, N), jnp.float32)
+        dc1r = jnp.zeros((TC, N), jnp.float32)
+        dc1i = jnp.zeros((TC, N), jnp.float32)
+        for k in range(2, NW):
+            m0 = (k_sync + 2 == k).astype(jnp.float32)
+            m1 = (k_sync + 3 == k).astype(jnp.float32)
+            dc0r = dc0r + m0 * swr[k][:]
+            dc0i = dc0i + m0 * swi[k][:]
+            dc1r = dc1r + m1 * swr[k][:]
+            dc1i = dc1i + m1 * swi[k][:]
+        z0r, z0i = dechirp_derotate_vals(dc0r, dc0i, cd_r, cd_i, ferr)
+        v0, _, _, _ = det(z0r, z0i, False)
+        z1r, z1i = dechirp_derotate_vals(dc1r, dc1i, cd_r, cd_i, ferr)
+        v1, p1, n1, _ = det(z1r, z1i, False)
+        signed = lambda v: jnp.where(v > N // 2, v - N, v).astype(jnp.int32)
+        freq_error = _trunc_half_i32(signed(v0) + signed(v1))
+        fine_total = ferr + _trunc_half_i32(freq_error).astype(jnp.float32)
+        o_state[:] = state
+        o_ksync[:] = k_sync
+        o_fqerr[:] = freq_error
+        o_ferr[:] = fine_total
+        o_pwr[:] = p1
+        o_snr[:] = p1 - n1
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sync0", "sync1", "thresh", "interpret")
+)
+def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
+                thresh: float, interpret: bool):
+    """xs: IQ [B, TRACK_ROWS, N] aligned rows at t0//N; rs = t0 % N."""
+    B, R, N = xs.shape
+    assert R == TRACK_ROWS, (R, TRACK_ROWS)
+    TC = _track_tc(N)
+    pad = (-B) % TC
+    if pad:
+        xs = cplx.pad(xs, ((0, pad), (0, 0), (0, 0)))
+        rs = jnp.pad(rs, (0, pad))
+    Bp = B + pad
+    det_specs, det_arrays, make_det = _detect_args(N)
+    cre, cim = _dechirp_table_np(N, False)
+    dre, dim = _dechirp_table_np(N, True)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (TC, R, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (TC, R, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        const((1, N)),
+        const((1, N)),
+        const((1, N)),
+        const((1, N)),
+    ] + det_specs
+    out_spec = pl.BlockSpec(
+        (TC, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // TC,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 6,
+        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * N_TRACK_WIN)
+        + [pltpu.VMEM((TRACK_ROWS, N), jnp.float32)] * 2,
+    )
+    kernel = _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det)
+    n_det = 2 * N_SCAN + 2
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the window scratch + double-buffered row blocks exceed the
+            # default scoped-VMEM budget at TC=24; v5e has 128 MB VMEM
+            vmem_limit_bytes=40 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * Bp * n_det * N * (min(N, 128) + max(1, N // 128)),
+            bytes_accessed=Bp * R * N * 8 + Bp * 24,
+            transcendentals=2 * Bp * n_det * N,
+        ),
+        interpret=interpret,
+    )(rs.astype(jnp.int32), xs.re, xs.im,
+      jnp.asarray(cre)[None], jnp.asarray(cim)[None],
+      jnp.asarray(dre)[None], jnp.asarray(dim)[None],
+      *det_arrays)
+    state, k_sync, freq_error, fine_total, power, snr = outs
+    cut = lambda a: a[:B, 0]
+    return {
+        "synced": cut(state) == 1,
+        "k_sync": cut(k_sync),
+        "freq_error": cut(freq_error),
+        "fine_total": cut(fine_total),
+        "power": cut(power),
+        "snr": cut(snr),
+    }
+
+
+def track(xs, rs, sync: int, thresh: float, interpret: bool = False):
+    """Fused tracking stage over aligned scan rows.
+
+    xs: IQ [..., TRACK_ROWS, N] rows gathered at t0 // N; rs = t0 % N.
+    Returns a dict of [...]-shaped outputs: synced (sync word matched),
+    k_sync (aligned window index of the sync symbol), freq_error (coarse
+    CFO, bins), fine_total (fine CFO for the payload derotator), power /
+    snr (dB, from the second downchirp) — the exact outputs of the XLA
+    scan path in models/demodulator._scan_track."""
+    xs = cplx.as_iq(xs)
+    *lead, R, N = xs.shape
+    B = int(np.prod(lead)) if lead else 1
+    xsf = xs.reshape(B, R, N)
+    rsf = jnp.broadcast_to(jnp.asarray(rs), tuple(lead)).reshape(B)
+    out = _track_flat(
+        xsf, rsf, sync >> 4, sync & 0xF, float(thresh), interpret
+    )
+    return {k: v.reshape(*lead) for k, v in out.items()}

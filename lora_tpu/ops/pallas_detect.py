@@ -50,9 +50,10 @@ def _tile_windows(N: int) -> int:
     return min(tw, 16) if N >= 4096 else tw
 
 
-def _finish(mag2, bins, N, value, power, noise, findex, want_findex=True):
+def _finish_vals(mag2, bins, N, want_findex=True):
     """Shared peak-search epilogue over mag2 with a bin-index map `bins`
     (any trailing layout; reductions collapse every axis but the first).
+    Returns (value, power_db, noise_db, findex) as [M, 1] values.
     want_findex=False (static) skips the fractional-bin interpolation — a
     full-array sqrt plus two masked reductions — for consumers that only
     read value/power/noise (the demodulator's coarse and payload stages)."""
@@ -71,12 +72,8 @@ def _finish(mag2, bins, N, value, power, noise, findex, want_findex=True):
     noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
     scale = jnp.float32(20.0 * np.log10(N))
     db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
-    value[:] = val
-    power[:] = db(fund)
-    noise[:] = db(noise_amp)
     if not want_findex:
-        findex[:] = jnp.zeros_like(fund)
-        return
+        return val, db(fund), db(noise_amp), jnp.zeros_like(fund)
     lbin = jnp.where(val == 0, N - 1, val - 1)
     rbin = jnp.where(val == N - 1, 0, val + 1)
     lb = lbin.reshape(pk.shape)
@@ -85,40 +82,69 @@ def _finish(mag2, bins, N, value, power, noise, findex, want_findex=True):
     left = red(jnp.sum, jnp.where(bins == lb, mag, 0.0))
     right = red(jnp.sum, jnp.where(bins == rb, mag, 0.0))
     denom = 2.0 * fund - right - left
-    findex[:] = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
+    fidx = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
+    return val, db(fund), db(noise_amp), fidx
 
 
-def _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr):
+def _finish(mag2, bins, N, value, power, noise, findex, want_findex=True):
+    val, pwr, nse, fidx = _finish_vals(mag2, bins, N, want_findex)
+    value[:] = val
+    power[:] = pwr
+    noise[:] = nse
+    findex[:] = fidx
+
+
+def dechirp_derotate_vals(xr, xi, cr, ci, fe):
+    """Dechirp multiply + optional analytic fine-CFO derotation, on values:
+    xr/xi [TW, N] window samples, cr/ci [1, N] chirp table rows, fe [TW, 1]
+    fine CFO in bins or None (skips 2N transcendentals/window)."""
     TW, N = xr.shape
-    yr = xr[:] * cr[:] - xi[:] * ci[:]
-    yi = xr[:] * ci[:] + xi[:] * cr[:]
-    if not has_ferr:  # static: no CFO input, skip 2N transcendentals/window
+    yr = xr * cr - xi * ci
+    yi = xr * ci + xi * cr
+    if fe is None:
         return yr, yi
     n = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1).astype(jnp.float32)
-    ang = (-2.0 * np.pi / N) * fe[:] * n
+    ang = (-2.0 * np.pi / N) * fe * n
     rr = jnp.cos(ang)
     ri = jnp.sin(ang)
     return yr * rr - yi * ri, yr * ri + yi * rr
 
 
-def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
-            *, has_ferr=True, want_findex=True):
-    """Direct-DFT variant (N <= 256): S = Z @ F, one MXU matmul pair."""
-    TW, N = xr.shape
-    zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
-    dot = lambda a, b: jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+def _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr):
+    return dechirp_derotate_vals(
+        xr[:], xi[:], cr[:], ci[:], fe[:] if has_ferr else None
+    )
+
+
+def direct_vals(zr, zi, fr, fi, want_findex=True):
+    """Direct-DFT detect (N <= 256) on dechirped values zr/zi [TW, N] with
+    DFT matrix values fr/fi [N, N]: S = Z @ F, one MXU matmul pair.
+    Returns (value, power, noise, findex) as [TW, 1] values."""
+    TW, N = zr.shape
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
     sr = dot(zr, fr) - dot(zi, fi)
     si = dot(zr, fi) + dot(zi, fr)
     mag2 = sr * sr + si * si
     bins = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1)
-    _finish(mag2, bins, N, value, power, noise, findex, want_findex)
+    return _finish_vals(mag2, bins, N, want_findex)
 
 
-def _kernel4(
-    xr, xi, cr, ci, fe, f1r, f1i, twr, twi,
-    value, power, noise, findex, *, w2, has_ferr=True, want_findex=True,
-):
-    """Four-step variant (512 <= N <= 4096): N = n1*n2, n1 = 128 minor.
+def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
+            *, has_ferr=True, want_findex=True):
+    """Direct-DFT variant (N <= 256): S = Z @ F, one MXU matmul pair."""
+    zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
+    val, pwr, nse, fidx = direct_vals(zr, zi, fr[:], fi[:], want_findex)
+    value[:] = val
+    power[:] = pwr
+    noise[:] = nse
+    findex[:] = fidx
+
+
+def four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex=True):
+    """Four-step detect (512 <= N <= 4096) on dechirped values zr/zi
+    [TW, N]: N = n1*n2, n1 = 128 minor.  f1r/f1i [n1, n1] DFT matrix
+    values, twr/twi [n2, n1] twiddle rows, w2 = (w2r, w2i) numpy [n2, n2].
+    Returns (value, power, noise, findex) as [TW, 1] values.
 
     Decimation x[j2*n1 + j1] = A[j2, j1]:
         X[k1*n2 + k2] = sum_j1 Wn1[j1,k1] * tw[j1,k2] * G[j1,k2],
@@ -130,12 +156,11 @@ def _kernel4(
     complex matmul (MXU).  Group k2 holds bins k1*n2 + k2; the peak search
     combines across groups without ever materializing the spectrum in HBM.
     """
-    TW, N = xr.shape
+    TW, N = zr.shape
     n1 = 128
     n2 = N // n1
     w2r, w2i = w2  # [n2, n2] numpy: stage-1 weights become python constants
-    zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
-    dot = lambda a, b: jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
     k1 = jax.lax.broadcasted_iota(jnp.int32, (TW, n1), 1)
 
     mags = []
@@ -176,12 +201,10 @@ def _kernel4(
     noise_amp = jnp.sqrt(jnp.maximum(total - peak2, 0.0))
     scale = jnp.float32(20.0 * np.log10(N))
     db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
-    value[:] = val
-    power[:] = db(fund)
-    noise[:] = db(noise_amp)
+    pwr = db(fund)
+    nse = db(noise_amp)
     if not want_findex:
-        findex[:] = jnp.zeros_like(fund)
-        return
+        return val, pwr, nse, jnp.zeros_like(fund)
     lbin = jnp.where(val == 0, N - 1, val - 1)
     rbin = jnp.where(val == N - 1, 0, val + 1)
     left = jnp.zeros((TW, 1), jnp.float32)
@@ -196,7 +219,23 @@ def _kernel4(
             jnp.where(bins_g == rbin, mag, 0.0), axis=1, keepdims=True
         )
     denom = 2.0 * fund - right - left
-    findex[:] = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
+    fidx = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
+    return val, pwr, nse, fidx
+
+
+def _kernel4(
+    xr, xi, cr, ci, fe, f1r, f1i, twr, twi,
+    value, power, noise, findex, *, w2, has_ferr=True, want_findex=True,
+):
+    """Four-step variant (512 <= N <= 4096); see four_step_vals."""
+    zr, zi = _dechirp_derotate(xr, xi, cr, ci, fe, has_ferr)
+    val, pwr, nse, fidx = four_step_vals(
+        zr, zi, f1r[:], f1i[:], twr[:], twi[:], w2, want_findex
+    )
+    value[:] = val
+    power[:] = pwr
+    noise[:] = nse
+    findex[:] = fidx
 
 
 @functools.partial(jax.jit, static_argnames=("down", "interpret", "has_ferr",

@@ -17,7 +17,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import LoRaConfig
-from ..models.demodulator import demodulate, required_samples, DemodResult
+from ..models.demodulator import (
+    DemodResult,
+    _payload_gather_rows,
+    demodulate,
+    required_samples,
+)
 from ..models.decoder import decode
 from ..ops import cplx
 from ..ops.cplx import IQ
@@ -60,8 +65,15 @@ class ChannelDispatcher:
         out: list[GroupResult | None] = [None] * len(self.configs)
         for cfg, members in self.groups.items():
             need = required_samples(cfg)
-            T = max(need, max(np.shape(streams[ch])[-1] if not isinstance(
-                streams[ch], IQ) else streams[ch].shape[-1] for ch in members))
+            # zero-pad past the longest stream by the payload gather's
+            # row-grid slack, so a frame ending at the stream's last sample
+            # still passes demodulate's payload-fit check
+            slack = (
+                _payload_gather_rows(cfg) - (cfg.mtu + 1) + 1
+            ) * cfg.N
+            T = max(need, slack + max(
+                np.shape(streams[ch])[-1] if not isinstance(streams[ch], IQ)
+                else streams[ch].shape[-1] for ch in members))
             bank_re = np.zeros((len(members), T), np.float32)
             bank_im = np.zeros((len(members), T), np.float32)
             for i, ch in enumerate(members):
@@ -76,18 +88,10 @@ class ChannelDispatcher:
                 bank_re[i, : re.shape[-1]] = re
                 bank_im[i, : im.shape[-1]] = im
             dem = demodulate(IQ(jnp.asarray(bank_re), jnp.asarray(bank_im)), cfg)
-            # a frame only counts if its payload fits the buffer (the
-            # demodulator clamps data_start otherwise and the symbols are
-            # meaningless — same guard as runtime/stream.py)
-            N = cfg.N
-            t_buf = max(T, need)
-            # payload must fit: data_start (= preamble + sync + downchirps +
-            # quarter + retime, < pre+5 symbols past t_pre) + mtu windows
-            room = t_buf - (
-                cfg.preamble_symbols + 2 + 2 + 1 + cfg.mtu
-            ) * N - N // 4
-            t_pre = np.asarray(dem.t_sync) - cfg.preamble_symbols * N
-            found = np.asarray(dem.found) & (t_pre <= room)
+            # a frame only counts if its payload fits the buffer — the
+            # demodulator's centralized fit check (symbols are truncated
+            # garbage when data_start was clamped)
+            found = np.asarray(dem.found) & np.asarray(dem.payload_complete)
             counts = np.asarray(dem.count)
             symbols = np.asarray(dem.symbols)
             snr = np.asarray(dem.snr)

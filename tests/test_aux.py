@@ -26,6 +26,28 @@ def test_frame_events_and_profile_hook(tmp_path, rng):
         _ = api.encode(jnp.asarray(p), cfg)
 
 
+def test_tx_frame_events_match_demod_timing(rng):
+    from lora_tpu.models.modulator import tx_frame_events
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    p = rng.integers(0, 256, (1, 4)).astype(np.uint8)
+    syms = api.encode(jnp.asarray(p), cfg)
+    iq = api.modulate(syms, cfg)
+    ev = tx_frame_events(cfg, syms.shape[-1])
+    # static offsets must agree with the emitted frame length and with the
+    # demodulator's recovered sync-symbol position for a zero-delay frame
+    assert ev["t_pad_end"] == iq.shape[-1] == cfg.frame_samples(syms.shape[-1])
+    dem = api.demodulate(iq, cfg)
+    assert bool(np.asarray(dem.found)[0])
+    assert int(np.asarray(dem.t_sync)[0]) == ev["t_sync"]
+    # data starts after downchirps + quarter chirp (CFO correction is 0),
+    # and the demod consumes count symbols from there
+    assert int(np.asarray(dem.consumed)[0]) == ev["t_data"] + int(
+        np.asarray(dem.count)[0]
+    ) * cfg.N
+
+
 def test_multihost_helpers_single_process():
     from lora_tpu.parallel import multihost
 
