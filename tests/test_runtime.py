@@ -224,3 +224,96 @@ def test_stream_exact_advance_back_to_back(rng):
     for f, p, s in zip(frames, payloads, starts):
         assert abs(f.t_start - s) <= 1
         assert f.status == 0 and f.payload == bytes(p.tolist())
+
+
+def test_ring_matches_flat_buffer(rng):
+    """_Ring append/view/gather vs a flat concatenated array, across
+    growth and many wraparounds."""
+    from lora_tpu.runtime.stream import _Ring
+
+    B = 3
+    ring = _Ring(B, 64)  # tiny: forces both growth and wraps
+    flat = np.zeros((B, 0), np.float32)
+    base = 0
+    for _ in range(40):
+        n = int(rng.integers(1, 200))
+        re = rng.standard_normal((B, n)).astype(np.float32)
+        im = rng.standard_normal((B, n)).astype(np.float32)
+        flat = np.concatenate([flat, re], axis=1)
+        ring.append(re, im)
+        # consumer lags randomly behind
+        base = max(base, ring.end - int(rng.integers(1, 300)))
+        ring.trim(base)
+        assert ring.base >= base or ring.base == base
+        W = min(37, ring.end - ring.base)
+        if W > 0:
+            offs = np.full(B, ring.end - W, np.int64)
+            gre, _ = ring.gather(offs, W)
+            np.testing.assert_array_equal(gre, flat[:, ring.end - W : ring.end])
+            vre, _ = ring.view(ring.end - W, W)
+            np.testing.assert_array_equal(vre, flat[:, ring.end - W : ring.end])
+
+
+def test_pump_pipeline_matches_run(rng):
+    """pump() (ingest overlapped with the dispatched device step) must
+    recover exactly the frames of the feed/run loop."""
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(6) + 2)
+    payloads = [rng.integers(0, 256, 6).astype(np.uint8) for _ in range(3)]
+    gaps = [500, 2200, 900]
+    x, starts = _make_stream(cfg, payloads, gaps, rng, noise=0.05)
+
+    def frames_of(sd, drive):
+        fr = drive(sd)
+        fr.extend(sd.flush())
+        decode_frames(fr, cfg)
+        return [(f.t_start, f.payload, f.status) for f in fr]
+
+    def run_loop(sd):
+        out = []
+        for i in range(0, x.size, 4000):
+            sd.feed(x[None, i : i + 4000])
+            out.extend(sd.run())
+        return out
+
+    def pump_loop(sd):
+        blocks = (x[None, i : i + 4000] for i in range(0, x.size, 4000))
+        return list(sd.pump(blocks))
+
+    a = frames_of(StreamDemodulator(cfg, channels=1), run_loop)
+    b = frames_of(StreamDemodulator(cfg, channels=1), pump_loop)
+    assert a == b and len(a) == 3
+    assert [t for t, _, _ in a] == pytest.approx(starts, abs=1)
+    assert all(s == 0 for _, _, s in a)
+
+
+def test_slab_bank_matches_single_dispatch(rng):
+    """demodulate_bank (slab-pipelined) must equal one whole-bank dispatch,
+    including a zero-padded tail slab."""
+    from lora_tpu.runtime import demodulate_bank
+
+    cfg = LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(5) + 2)
+    from lora_tpu.models.demodulator import demodulate, required_samples
+
+    B, T = 11, required_samples(cfg)
+    payload = rng.integers(0, 256, (B, 5)).astype(np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
+    re = np.zeros((B, T), np.float32)
+    im = np.zeros((B, T), np.float32)
+    re[:, : iq.shape[-1]] = np.asarray(iq.re)[:, :T]
+    im[:, : iq.shape[-1]] = np.asarray(iq.im)[:, :T]
+    re += 0.03 * rng.standard_normal((B, T)).astype(np.float32)
+    im += 0.03 * rng.standard_normal((B, T)).astype(np.float32)
+    # kill one channel so not-found rows are exercised too
+    re[7] = 0.001 * re[7]
+    im[7] = 0.001 * im[7]
+
+    whole = demodulate(cplx.IQ(jnp.asarray(re), jnp.asarray(im)), cfg)
+    slabbed = demodulate_bank(re, im, cfg, slab=4)  # 3 slabs, padded tail
+    for name in ("found", "symbols", "count", "t_sync", "freq_error"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(slabbed, name)),
+            np.asarray(getattr(whole, name)),
+            err_msg=name,
+        )

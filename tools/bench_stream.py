@@ -1,0 +1,135 @@
+"""Sustained-ingest microbenchmark for the streaming runtime (VERDICT r1
+item 5): ring-buffer feed() throughput vs the round-1 concatenate design,
+and pump() (ingest overlapped with the dispatched device step) vs the
+serial feed/run loop.
+
+Usage:  python tools/bench_stream.py [--tpu]
+The host-side numbers are platform-independent; --tpu additionally times
+the pipelined stream loop on the real chip (takes the axon grant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_ingest() -> None:
+    from lora_tpu.runtime.stream import _Ring
+
+    B, chunk, total = 64, 8192, 1 << 24
+    re = np.random.default_rng(0).standard_normal((B, chunk)).astype(np.float32)
+    im = re.copy()
+
+    # ring: consumer keeps up (steady state: no growth, O(chunk) writes)
+    ring = _Ring(B, 4 * chunk)
+    t0 = time.perf_counter()
+    fed = 0
+    while fed < total:
+        ring.append(re, im)
+        ring.trim(ring.end - chunk)  # consumer keeps up
+        fed += chunk
+    dt_ring = time.perf_counter() - t0
+
+    # round-1 design: np.concatenate per feed + slice trim
+    bre = np.zeros((B, 0), np.float32)
+    bim = np.zeros((B, 0), np.float32)
+    t0 = time.perf_counter()
+    fed = 0
+    while fed < total:
+        bre = np.concatenate([bre, re], axis=1)
+        bim = np.concatenate([bim, im], axis=1)
+        if bre.shape[1] > 4 * chunk:
+            bre = bre[:, -4 * chunk :]
+            bim = bim[:, -4 * chunk :]
+        fed += chunk
+    dt_cat = time.perf_counter() - t0
+
+    rate = B * total / dt_ring / 1e6
+    print(
+        f"ring ingest : {rate:9.1f} Msamp/s  ({dt_ring*1e3:7.1f} ms for "
+        f"{B}x{total>>20}M samples)"
+    )
+    print(
+        f"concatenate : {B * total / dt_cat / 1e6:9.1f} Msamp/s  "
+        f"({dt_cat*1e3:7.1f} ms)   -> ring is {dt_cat/dt_ring:.1f}x"
+    )
+
+
+def bench_pump() -> None:
+    import jax.numpy as jnp
+
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.ops import cplx
+    from lora_tpu.runtime import StreamDemodulator
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU smoke keeps compile time sane (SF7); the TPU run uses the
+    # flagship SF10 point
+    cfg = LoRaConfig(sf=10 if on_tpu else 7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 2)
+    B = 256 if on_tpu else 16
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, (B, 16), dtype=np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
+    frame = np.stack([np.asarray(iq.re), np.asarray(iq.im)], 0)
+    n_frames, gap = 6, 3000
+    FL = frame.shape[-1]
+    T = n_frames * (FL + gap) + 8 * cfg.N
+    bank = np.zeros((2, B, T), np.float32)
+    for i in range(n_frames):
+        o = i * (FL + gap)
+        bank[:, :, o : o + FL] = frame
+    bank += 0.05 * rng.standard_normal(bank.shape).astype(np.float32)
+
+    chunkn = 1 << 16
+
+    def blocks():
+        from lora_tpu.ops.cplx import IQ
+
+        for i in range(0, T, chunkn):
+            yield IQ(bank[0, :, i : i + chunkn], bank[1, :, i : i + chunkn])
+
+    def serial():
+        sd = StreamDemodulator(cfg, channels=B)
+        out = []
+        for blk in blocks():
+            sd.feed(blk)
+            out.extend(sd.run())
+        return out
+
+    def pipelined():
+        sd = StreamDemodulator(cfg, channels=B)
+        return list(sd.pump(blocks()))
+
+    for name, fn in (("serial feed/run", serial), ("pump (pipelined)", pipelined)):
+        fn()  # warmup/compile
+        t0 = time.perf_counter()
+        frames = fn()
+        dt = time.perf_counter() - t0
+        rate = B * T / dt / 1e6
+        print(
+            f"{name:17s}: {rate:8.1f} Msamp/s  ({len(frames)} frames, "
+            f"{dt*1e3:6.1f} ms)"
+        )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    args = ap.parse_args()
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    bench_ingest()
+    bench_pump()
