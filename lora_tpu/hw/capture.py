@@ -53,9 +53,9 @@ def replay_file(
     If capture_rate > channel_rate: an integer ratio channelizes the stream
     (K channels, `channel` selects one); a fractional ratio resamples the
     capture down to the channel rate (the RN2483Capture 2.048 Msps use
-    case) with the polyphase fractional resampler.  The fractional path
-    restarts its sample grid per chunk (sub-sample seams every `chunk`
-    samples); keep `chunk` large relative to the frame length.
+    case) with the polyphase fractional resampler.  Both paths carry their
+    filter state across chunks, so chunking is seam-free: a frame may
+    straddle any number of chunk boundaries.
     """
     from ..ops import resample as rs
 
@@ -68,6 +68,7 @@ def replay_file(
             ratio = 1.0
     sd = StreamDemodulator(cfg, channels=1)
     state = None
+    rstate = None
     frames: list[Frame] = []
     itemsize = {"cs8": 1, "cu8": 1, "cs16": 2, "cf32": 4}[fmt]
     with open(path, "rb") as f:
@@ -85,8 +86,9 @@ def replay_file(
                 )
                 sd.feed(IQ(y.re[channel][None], y.im[channel][None]))
             elif ratio != 1.0:
-                nb = rs.resample(IQ(re, im), ratio)
-                sd.feed(nb.reshape(1, -1))
+                nb, rstate = rs.resample_stream(IQ(re, im), ratio, rstate)
+                if nb.shape[-1]:
+                    sd.feed(nb.reshape(1, -1))
             else:
                 sd.feed(IQ(re[None], im[None]))
             frames.extend(sd.run())
