@@ -52,7 +52,12 @@ def cmd_loopback(args) -> int:
         cfo_bins=args.cfo,
         delay=args.delay,
         seed=args.seed,
+        debug=bool(args.dump_spectra),
     )
+    if args.dump_spectra:
+        from .utils.plots import render_taps
+
+        render_taps(dem, cfg, args.dump_spectra)
     got = api.extract_payloads(dec)
     ok = sum(
         1 for g, p in zip(got, payload) if g == bytes(p.tolist())
@@ -93,6 +98,20 @@ def cmd_ber_sweep(args) -> int:
                 fer = 1.0 - sum(
                     g == bytes(p.tolist()) for g, p in zip(got, payload)
                 ) / args.packets
+                # per-bit BER conditioned on sync: XOR the decoded payload
+                # bytes (position 3 after the explicit header, even when
+                # the CRC failed) against the sent bytes
+                found = np.asarray(dem.found)
+                data = np.asarray(dec.data)
+                bits = errs = 0
+                for i in range(args.packets):
+                    if not found[i]:
+                        continue
+                    raw = data[i, 3 : 3 + args.length].astype(np.uint8)
+                    errs += int(
+                        np.unpackbits(raw ^ payload[i]).sum()
+                    )
+                    bits += 8 * args.length
                 snr_db = 10 * np.log10(1.0 / (2 * a * a))
                 rows.append(
                     {
@@ -101,7 +120,8 @@ def cmd_ber_sweep(args) -> int:
                         "noise_ampl": round(float(a), 3),
                         "snr_db": round(float(snr_db), 2),
                         "fer": round(float(fer), 4),
-                        "synced": int(np.asarray(dem.found).sum()),
+                        "ber": round(errs / bits, 6) if bits else None,
+                        "synced": int(found.sum()),
                     }
                 )
                 print(json.dumps(rows[-1]))
@@ -192,6 +212,10 @@ def main(argv=None) -> int:
     p.add_argument("--phase", type=float, default=np.pi / 1.2345)
     p.add_argument("--cfo", type=float, default=0.0)
     p.add_argument("--delay", type=int, default=0)
+    p.add_argument(
+        "--dump-spectra", metavar="PNG",
+        help="render the demod raw/dec/fft debug taps to this file",
+    )
     p.set_defaults(fn=cmd_loopback)
 
     p = sub.add_parser("ber-sweep", help=cmd_ber_sweep.__doc__)
