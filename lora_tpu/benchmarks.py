@@ -62,11 +62,17 @@ def main() -> None:
 
     iters = 10 if plat != "cpu" else 2
     t0 = time.perf_counter()
+    pending = None
     for _ in range(iters):
-        out = step(iq)
-        np.asarray(out[2])  # host readback: the tunneled TPU runtime does
-        # not reliably await device completion in block_until_ready, and
-        # queuing many un-awaited dispatches stalls it outright
+        out = step(iq)  # async dispatch: overlaps the previous readback
+        if pending is not None:
+            np.asarray(pending[2])  # host readback: the tunneled TPU
+            # runtime does not reliably await device completion in
+            # block_until_ready; keep exactly one dispatch in flight
+            # (queuing many un-awaited dispatches stalls the tunnel) —
+            # the steady-state pipeline of runtime/slab.py and pump()
+        pending = out
+    np.asarray(pending[2])
     dt = time.perf_counter() - t0
 
     samples = B * T * iters

@@ -7,6 +7,7 @@ import json
 import pathlib
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -27,6 +28,22 @@ def roundtrip(payload, cfg):
 @pytest.mark.parametrize("sf", range(7, 13))
 @pytest.mark.parametrize("cr", ["4/4", "4/5", "4/6", "4/7", "4/8"])
 def test_encoder_to_decoder_sweep(sf, cr, rng):
+    # every (sf, cr) combo at one payload length; the length axis is
+    # covered separately below (each (cfg, length) is its own compile —
+    # the former 30 x 4 grid spent minutes compiling duplicates)
+    cfg = LoRaConfig(sf=sf, cr=cr)
+    length = 37
+    payload = rng.integers(0, 256, size=(3, length)).astype(np.uint8)
+    res = roundtrip(payload, cfg)
+    assert np.all(np.asarray(res.status) == OK), f"len {length}"
+    np.testing.assert_array_equal(np.asarray(res.offset), 3)
+    np.testing.assert_array_equal(np.asarray(res.length), length)
+    out = np.asarray(res.data)[:, 3 : 3 + length]
+    np.testing.assert_array_equal(out, payload)
+
+
+@pytest.mark.parametrize("sf,cr", [(7, "4/8"), (12, "4/5")])
+def test_encoder_to_decoder_length_sweep(sf, cr, rng):
     cfg = LoRaConfig(sf=sf, cr=cr)
     for length in (1, 8, 37, 128):
         payload = rng.integers(0, 256, size=(3, length)).astype(np.uint8)
@@ -151,11 +168,16 @@ def test_golden_fec_tables():
 def test_golden_interleaver():
     from lora_tpu.ops import codes
 
-    for ppm in range(7, 13):
-        for rdd in range(5):
-            cw = jnp.asarray(GOLDEN[f"il_cw_ppm{ppm}_rdd{rdd}"], jnp.int32)
-            sym = np.asarray(codes.interleave(cw[None], ppm, rdd)[0])
-            np.testing.assert_array_equal(sym, GOLDEN[f"il_sym_ppm{ppm}_rdd{rdd}"])
+    # 30 distinct (ppm, rdd) shapes = 30 jit compiles; the ops are tiny, so
+    # run them eagerly (same assertions, ~30s -> ~1s)
+    with jax.disable_jit():
+        for ppm in range(7, 13):
+            for rdd in range(5):
+                cw = jnp.asarray(GOLDEN[f"il_cw_ppm{ppm}_rdd{rdd}"], jnp.int32)
+                sym = np.asarray(codes.interleave(cw[None], ppm, rdd)[0])
+                np.testing.assert_array_equal(
+                    sym, GOLDEN[f"il_sym_ppm{ppm}_rdd{rdd}"]
+                )
 
 
 @pytest.mark.parametrize("sf", range(7, 13))

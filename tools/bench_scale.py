@@ -1,0 +1,109 @@
+"""Scale benchmarks for BASELINE configs 3-5 (VERDICT r1 items 4 & 7).
+
+  config-3  channelized front-end: one fused dispatch = polyphase
+            filterbank + IDFT + K-channel demod bank, batched over S
+            wideband streams.  Reports wideband samples/s.
+  config-5  slab execution: a 10k+ channel SF10 bank demodulated in
+            device-sized slabs (runtime/slab.py), software-pipelined —
+            past the single-dispatch OOM ceiling (B=6144 in round 1).
+
+Run on the real chip: python tools/bench_scale.py  (takes the axon grant).
+--cpu smoke-runs tiny shapes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.models.demodulator import required_samples
+    from lora_tpu.ops import cplx
+    from lora_tpu.ops.cplx import IQ
+    from lora_tpu.runtime import demodulate_bank
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+
+    def r2(shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    # ---- config-3: channelized front-end ---------------------------------
+    cfg7 = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg7 = cfg7.replace(mtu=cfg7.num_symbols(16) + 2)
+    K = 64
+    need = required_samples(cfg7)
+    T = need * K  # one demod window per channel
+    for S in (16, 64) if on_tpu else (2,):
+        wide = IQ(r2((S, T)), r2((S, T)))
+        jax.block_until_ready(wide)
+        dem, _ = api.channelized_demodulate(wide, K, cfg7)  # compile
+        np.asarray(dem.found)
+        iters = 8 if on_tpu else 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dem, _ = api.channelized_demodulate(wide, K, cfg7)
+            np.asarray(dem.found)
+        dt = time.perf_counter() - t0
+        rate = S * T * iters / dt / 1e6
+        rt = rate * 1e6 / (K * 0.5e6)  # x real time at 64 x 500 kHz/stream
+        print(
+            f"config-3  S={S:3d} x K={K} = {S*K:5d} channels: "
+            f"{rate:8.1f} M wide-samp/s = {rt:6.1f}x real time "
+            f"[{dt/iters*1e3:.1f} ms/dispatch]"
+        )
+
+    # ---- config-5: 10k-channel slabbed bank ------------------------------
+    cfg10 = LoRaConfig(sf=10, cr="4/8", ampl=1.0)
+    cfg10 = cfg10.replace(mtu=cfg10.num_symbols(32) + 4)
+    T10 = required_samples(cfg10)
+    B = 10240 if on_tpu else 9
+    slab = 2048 if on_tpu else 4
+    payload = rng.integers(0, 256, (slab, 32), dtype=np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(payload), cfg10), cfg10)
+    fre = np.asarray(iq.re)[:, :T10]
+    fim = np.asarray(iq.im)[:, :T10]
+    reps_b = -(-B // slab)
+    re = np.tile(fre, (reps_b, 1))[:B]
+    im = np.tile(fim, (reps_b, 1))[:B]
+    if re.shape[1] < T10:
+        re = np.pad(re, ((0, 0), (0, T10 - re.shape[1])))
+        im = np.pad(im, ((0, 0), (0, T10 - im.shape[1])))
+    re += 0.05 * rng.standard_normal(re.shape).astype(np.float32)
+    im += 0.05 * rng.standard_normal(im.shape).astype(np.float32)
+
+    dem = demodulate_bank(re, im, cfg10, slab=slab)  # compile + run
+    found = np.asarray(dem.found)
+    t0 = time.perf_counter()
+    dem = demodulate_bank(re, im, cfg10, slab=slab)
+    dt = time.perf_counter() - t0
+    rate = B * T10 / dt / 1e6
+    rt = rate * 1e6 / 0.5e6  # 500 kHz real-time channels
+    print(
+        f"config-5  B={B} SF10 channels in {B//slab + (B%slab>0)} slabs of "
+        f"{slab}: {rate:8.1f} Msamp/s  = {rt:.0f} x 500kHz real-time "
+        f"channels  (found {found.sum()}/{B}, {dt*1e3:.0f} ms)"
+    )
+
+
+if __name__ == "__main__":
+    main()
