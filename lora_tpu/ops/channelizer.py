@@ -52,6 +52,34 @@ def _idft_k(K: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _fir_idft_matrix(
+    K: int, taps_per_phase: int, G: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """[(L+G-1)*K, G*K] combined filterbank matrix producing G consecutive
+    channelized output samples per im2col row:
+
+        WB[(r, p), (j, k)] = H[j+L-1-r, p] * W[p, k]   (0 <= j+L-1-r < L)
+
+    The prototype FIR and the K-point IDFT collapse into one contraction,
+    and grouping G outputs widens the matmul result to G*K lanes — the
+    round-2 roofline showed K-wide (64) outputs running the MXU at ~4
+    TFLOP/s vs ~31 TFLOP/s for 512-wide."""
+    L = taps_per_phase
+    H = prototype(K, taps_per_phase).reshape(L, K).astype(np.float64)
+    wre, wim = _idft_k(K)
+    W = wre.astype(np.float64) + 1j * wim.astype(np.float64)  # [p, k]
+    R = L + G - 1
+    wb = np.zeros((R, K, G, K), np.complex128)
+    for r in range(R):
+        for j in range(G):
+            l = j + L - 1 - r
+            if 0 <= l < L:
+                wb[r, :, j, :] = H[l][:, None] * W
+    wb = wb.reshape(R * K, G * K)
+    return wb.real.astype(np.float32), wb.imag.astype(np.float32)
+
+
 def channelize(
     x,
     K: int,
@@ -83,21 +111,28 @@ def channelize(
     rows = M + L - 1
     Xc = xp[..., : rows * K].reshape(*x.shape[:-1], rows, K)
     Xrev = IQ(jnp.flip(Xc.re, axis=-1), jnp.flip(Xc.im, axis=-1))
-    h = prototype(K, taps_per_phase)
-    H = h.reshape(L, K)  # phase l taps: H[l, p] = h[lK + p]
 
-    # per-phase FIR: U[m, p] = sum_l H[l, p] * Xrev[m + (L-1) - l, p]
-    ur = jnp.zeros((*x.shape[:-1], M, K), jnp.float32)
-    ui = jnp.zeros((*x.shape[:-1], M, K), jnp.float32)
-    for l in range(L):
-        w = jnp.asarray(H[l])
-        s = L - 1 - l
-        ur = ur + w * Xrev.re[..., s : s + M, :]
-        ui = ui + w * Xrev.im[..., s : s + M, :]
+    # FIR + IDFT as ONE wide MXU contraction:
+    #   y[m, k] = sum_{l,p} Xrev[m+(L-1)-l, p] * H[l, p] * W[p, k]
+    # Group G consecutive outputs per row: ZB[q, (r, p)] = Xrev[Gq+r, p]
+    # (r < L+G-1), times the block-Toeplitz WB of _fir_idft_matrix, gives
+    # y[Gq+j, k] directly — one matmul with an (L+G-1)K contraction and a
+    # G*K-wide result does the entire filterbank.
+    # G=8 measured best on v5e (G=32 loses more to the wider-Z gather
+    # than it gains in MXU width)
+    G = next(g for g in (8, 4, 2, 1) if M % g == 0)
+    R = L + G - 1
+    Q = M // G
 
-    # K-point IDFT across phases on the MXU: y[m, k] = sum_p U[m, p] W[p, k]
-    wre, wim = _idft_k(K)
-    y = cplx.matmul(IQ(ur, ui), IQ(jnp.asarray(wre), jnp.asarray(wim)))
+    def zb(a):  # [..., rows, K] -> [..., Q, R*K]
+        return jnp.concatenate(
+            [a[..., r : r + G * Q : G, :] for r in range(R)], -1
+        )
+
+    Z = IQ(zb(Xrev.re), zb(Xrev.im))
+    wbr, wbi = _fir_idft_matrix(K, taps_per_phase, G)
+    y = cplx.matmul(Z, IQ(jnp.asarray(wbr), jnp.asarray(wbi)))
+    y = y.reshape(*x.shape[:-1], M, K)
     # [..., M, K] -> [..., K, M]
     y = IQ(jnp.swapaxes(y.re, -1, -2), jnp.swapaxes(y.im, -1, -2))
     return y, new_state

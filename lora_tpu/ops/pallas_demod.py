@@ -90,6 +90,9 @@ def _track_tc(N: int) -> int:
     is safe VMEM-wise even at N=4096 (inputs 2x8x18xNx4 double-buffered +
     34 (TC,N) window scratches ~= 19 MB < the 40 MB limit below)."""
     tc = (1 << 21) // (TRACK_ROWS * N * 4)
+    # cap 32: the kernel's per-channel roll loop serializes within a cell,
+    # so more channels/cell loses more than the wider DFT rows gain
+    # (TC=128 at N=128 measured ~10x slower than TC=32)
     return max(8, min(32, (tc // 8) * 8))
 
 

@@ -1,13 +1,15 @@
 """Roofline accounting for the hot kernels (VERDICT r1 item 2).
 
-For each kernel: analytic bytes-moved + FLOPs per call, measured time
-(lax.fori_loop of reps inside ONE jit with a forced data dependence, so
-the ~25 ms tunnel dispatch is amortized away), and the achieved fraction
-of the v5e HBM roofline (819 GB/s).  Prints a markdown table for
-docs/SCALING.md.
+For each kernel: analytic bytes-moved + FLOPs per call, measured time, and
+the achieved fraction of the v5e HBM roofline (819 GB/s).  Timing method:
+K data-chained dispatches with one readback at the end (each call's input
+depends on the previous call's output, so nothing reorders), which
+amortizes the ~24 ms tunnel RPC to 1/K per call.  fori_loop-in-jit was
+abandoned: wrapping the Pallas kernels in a device loop sent the axon
+remote-compile service into a >30-minute compile.
 
 Run on the real chip: python tools/bench_roofline.py  (takes the axon
-grant; ~2 min).  --cpu runs tiny shapes in interpret-free XLA for smoke.
+grant; ~10 min, compile-dominated).  --cpu smoke-runs tiny shapes.
 """
 
 from __future__ import annotations
@@ -25,25 +27,25 @@ HBM_GBPS = 819.0  # TPU v5e peak HBM bandwidth
 BF16_TFLOPS = 197.0  # v5e MXU peak (bf16); f32 contractions run well below
 
 
-def _timed(fn, reps: int) -> float:
-    """Seconds per rep: fn must be a jitted callable returning arrays whose
-    computation chains `reps` kernel invocations."""
-    import jax
-
-    out = fn()  # compile + warm
-    jax.block_until_ready(out)
-    np.asarray(jax.tree.leaves(out)[0])
+def _timed_chain(step, reps: int) -> float:
+    """step(carry) -> (readback_array, carry).  Chains `reps` dependent
+    dispatches, reads back once; returns seconds per call."""
+    out, carry = step(None)
+    np.asarray(out)  # compile + warm
+    out, carry = step(None)
+    np.asarray(out)  # steady-state warm (first post-compile call is slow)
     t0 = time.perf_counter()
-    out = fn()
-    np.asarray(jax.tree.leaves(out)[0])  # tunnel-safe readback
-    dt = time.perf_counter() - t0
-    return dt / reps
+    carry = None
+    for _ in range(reps):
+        out, carry = step(carry)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -51,10 +53,8 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from lora_tpu.config import LoRaConfig
-    from lora_tpu.ops import cplx
     from lora_tpu.ops.cplx import IQ
     from lora_tpu.ops import pallas_demod as pd
     from lora_tpu.ops import pallas_detect as pdet
@@ -88,102 +88,96 @@ def main() -> None:
                 "TFLOP/s": flops_per / s_per_call / 1e12,
             }
         )
+        print(f"# done: {name}  {s_per_call*1e3:.3f} ms/call", flush=True)
 
     def r2(shape):
         return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    n1, n2 = (min(N, 128), max(1, N // 128))
+    win_flops = 6 * (N * (n1 + n2) + 3 * N)  # dechirp+derotate+DFT per window
 
     # ---- fused payload kernel: roll+dechirp+derotate+DFT+peak -------------
     TWM, tiles, Rp = pd.payload_geometry(N, cfg.mtu)
     M8 = TWM * tiles
     g = IQ(r2((B, Rp, N)), r2((B, Rp, N)))
     rs0 = jnp.asarray(rng.integers(0, N, B), jnp.int32)
-    fe0 = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    fe0 = jnp.zeros(B, jnp.float32)
+    jax.block_until_ready(g)
 
-    @jax.jit
-    def loop_payload():
-        def body(_, carry):
-            rs, fe = carry
-            v, p, n = pd.payload_detect(g, rs, fe, cfg.mtu, interpret=interp)
-            return rs, 0.0 * p[:, 0] + fe0
-        return lax.fori_loop(0, reps, body, (rs0, fe0))
+    def step_payload(carry):
+        fe = fe0 if carry is None else carry
+        v, p, n = pd.payload_detect(g, rs0, fe, cfg.mtu, interpret=interp)
+        return v, 0.0 * p[:, 0] + fe0
 
-    n1, n2 = (min(N, 128), max(1, N // 128))
-    payload_bytes = B * Rp * N * 8 + B * M8 * 12
-    # cmul=6 flops: dechirp N + derotate N + DFT (N*n1 + N + N*n2) per window
-    payload_flops = B * M8 * 6 * (N * (n1 + n2) + 3 * N)
-    add("payload_detect (fused)", payload_bytes, payload_flops,
-        _timed(loop_payload, reps), B * cfg.mtu * N)
+    add("payload_detect (fused)", B * Rp * N * 8 + B * M8 * 12,
+        B * M8 * win_flops, _timed_chain(step_payload, reps),
+        B * cfg.mtu * N)
 
     # ---- fused track kernel (sync scan + CFO) -----------------------------
     xs = IQ(r2((B, pd.TRACK_ROWS, N)), r2((B, pd.TRACK_ROWS, N)))
+    jax.block_until_ready(xs)
 
-    @jax.jit
-    def loop_track():
-        def body(_, carry):
-            rs, acc = carry
-            tr = pd.track(xs, rs, cfg.sync, cfg.thresh, interpret=interp)
-            return (rs + 0 * tr["k_sync"]) % N, acc + tr["freq_error"]
-        return lax.fori_loop(0, reps, body, (rs0, jnp.zeros(B, jnp.int32)))
+    def step_track(carry):
+        rs = rs0 if carry is None else carry
+        tr = pd.track(xs, rs, cfg.sync, cfg.thresh, interpret=interp)
+        return tr["freq_error"], (rs0 + 0 * tr["k_sync"]) % N
 
-    track_bytes = B * pd.TRACK_ROWS * N * 8
-    track_flops = B * (pd.N_SCAN * 2 + 4) * 6 * (N * (n1 + n2) + 3 * N)
-    add("track (sync scan+CFO)", track_bytes, track_flops,
-        _timed(loop_track, reps), B * pd.N_TRACK_WIN * N)
+    n_det = 2 * pd.N_SCAN + 2
+    add("track (sync scan+CFO)", B * pd.TRACK_ROWS * N * 8,
+        B * n_det * win_flops, _timed_chain(step_track, reps),
+        B * pd.N_TRACK_WIN * N)
 
     # ---- batched detector (dechirp+DFT+peak, no roll) ---------------------
     W = 64
     xw = IQ(r2((B, W, N)), r2((B, W, N)))
-    few = jnp.zeros((B, W), jnp.float32)
+    few0 = jnp.zeros((B, W), jnp.float32)
+    jax.block_until_ready(xw)
 
-    @jax.jit
-    def loop_det():
-        def body(_, x):
-            d = pdet.dechirp_detect_pallas(
-                x, ferr=few, interpret=interp, want_findex=False
-            )
-            return IQ(x.re + 0.0 * d.power[..., None], x.im)
-        return lax.fori_loop(0, reps, body, xw)
+    def step_det(carry):
+        few = few0 if carry is None else carry
+        d = pdet.dechirp_detect_pallas(
+            xw, ferr=few, interpret=interp, want_findex=False
+        )
+        return d.value, 0.0 * d.power + few0
 
-    det_bytes = B * W * N * 8 + B * W * 16
-    det_flops = B * W * 6 * (N * (n1 + n2) + 3 * N)
-    add("dechirp_detect (batched)", det_bytes, det_flops,
-        _timed(loop_det, reps), B * W * N)
+    add("dechirp_detect (batched)", B * W * N * 8 + B * W * 16,
+        B * W * win_flops, _timed_chain(step_det, reps), B * W * N)
 
     # ---- polyphase channelizer -------------------------------------------
     K, S = 64, (16 if on_tpu else 1)
     Tw = 1 << (21 if on_tpu else 14)
     xwide = IQ(r2((S, Tw)), r2((S, Tw)))
+    jax.block_until_ready(xwide)
 
     @jax.jit
-    def loop_chz():
-        def body(_, x):
-            y, _st = chz.channelize(x, K)
-            return IQ(
-                x.re + 0.0 * y.re[..., 0, 0:1], x.im
-            )
-        return lax.fori_loop(0, reps, body, xwide)
+    def chz_step(x):
+        y, _st = chz.channelize(x, K)
+        return y.re[..., 0, 0:1], IQ(x.re + 0.0 * y.re[..., 0, 0:1], x.im)
 
-    chz_bytes = S * Tw * 8 * 2  # read wideband + write all channels
-    chz_flops = S * Tw * (2 * 8 + 6 * K)  # L-tap FIR + K-point IDFT matmul
-    add("channelizer K=64", chz_bytes, chz_flops,
-        _timed(loop_chz, reps), S * Tw)
+    def step_chz(carry):
+        x = xwide if carry is None else carry
+        return chz_step(x)
+
+    add("channelizer K=64", S * Tw * 8 * 2, S * Tw * (2 * 8 + 6 * K),
+        _timed_chain(step_chz, reps), S * Tw)
 
     # ---- whole demod step (no tunnel overhead) ----------------------------
     T = required_samples(cfg)
     Bd = B if on_tpu else 2
     xd = IQ(r2((Bd, T)), r2((Bd, T)))
-    dreps = max(2, reps // 3)
+    jax.block_until_ready(xd)
 
     @jax.jit
-    def loop_demod():
-        def body(_, x):
-            d = demodulate(x, cfg)
-            return IQ(x.re + 0.0 * d.snr[:, None], x.im)
-        return lax.fori_loop(0, dreps, body, xd)
+    def demod_step(x):
+        d = demodulate(x, cfg)
+        return d.symbols, IQ(x.re + 0.0 * d.snr[:, None], x.im)
 
-    demod_bytes = Bd * T * 8  # input read; intermediates counted separately
-    add("full demod step (on-chip)", demod_bytes, 0,
-        _timed(loop_demod, dreps), Bd * T)
+    def step_demod(carry):
+        x = xd if carry is None else carry
+        return demod_step(x)
+
+    add("full demod step (on-chip)", Bd * T * 8, 0,
+        _timed_chain(step_demod, max(2, reps // 2)), Bd * T)
 
     hdr = ("kernel", "GB/call", "GFLOP/call", "ms/call", "Gsamp/s", "GB/s",
            "%HBM", "TFLOP/s")
