@@ -75,14 +75,19 @@ def cmd_ber_sweep(args) -> int:
     import jax.numpy as jnp
     from . import api
 
+    from .config import LoRaConfig
+
     rng = np.random.default_rng(args.seed)
     rows = []
     for sf in args.sf:
+        # one mtu across the CR axis: the demodulator's compile key is
+        # (sf, mtu, ...), so the whole CR sweep reuses one demod program
+        mtu = max(
+            LoRaConfig(sf=sf, cr=c).num_symbols(args.length) for c in args.cr
+        ) + 4
         for cr in args.cr:
-            from .config import LoRaConfig
-
             cfg = LoRaConfig(sf=sf, cr=cr, ampl=1.0, sync=args.sync)
-            cfg = cfg.replace(mtu=cfg.num_symbols(args.length) + 4)
+            cfg = cfg.replace(mtu=mtu)
             payload = rng.integers(
                 0, 256, (args.packets, args.length)
             ).astype(np.uint8)

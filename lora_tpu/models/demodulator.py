@@ -303,6 +303,10 @@ def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
     rows = shift_ops.gather_rows(
         xb, t0 // N, pallas_demod.TRACK_ROWS, N
     )
+    # barrier: force the gathered rows to materialize in default layout
+    # before the Mosaic call (see the matching note in demodulate(); the
+    # gather->custom-call handoff crashes the chip at N >= 2048, B > ~96)
+    rows, t0 = jax.lax.optimization_barrier((rows, t0))
     tr = pallas_demod.track(
         rows, t0 % N, cfg.sync, cfg.thresh, interpret=interpret
     )
@@ -333,33 +337,11 @@ def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused")
+    jax.jit, static_argnames=("cfg", "max_frames", "fused")
 )
-def demodulate(
-    x: jax.Array, cfg: LoRaConfig, debug: bool = False, max_frames: int = 1,
-    fused: str = "auto",
-):
-    """Demodulate frames out of each channel buffer.
-
-    x: planar IQ (or complex array, converted) [B, T] (or [T]) baseband at
-    1 sample/chip; buffers shorter than required_samples(cfg) are padded.
-    Returns a :class:`DemodResult`; with debug=True it also carries the
-    aligned payload sample windows, their dechirped copies and spectra (the
-    reference's `raw`/`dec`/`fft` debug ports, LoRaDemod.cpp:81-83).
-
-    max_frames > 1 tracks up to that many frames per buffer in one call
-    (result leaves gain a trailing candidate axis [..., K]; candidates are
-    time-ordered, unused slots report found=False).  Memory and payload
-    compute scale with K.
-
-    fused: "auto" routes the tracking + payload stages to the fused Pallas
-    kernels on TPU backends; "off" forces the XLA reference path;
-    "interpret" runs the fused kernels in interpreter mode on any backend
-    (cross-validation in tests).
-    """
-    x = cplx.as_iq(x)
-    squeeze = x.ndim == 1
-    xb = x if not squeeze else x.reshape(1, -1)
+def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
+    """Alignment + tracking (stages 1-3): pad, coarse preamble search,
+    sync scan + CFO.  Returns (padded xb, head result, fine CFO, t0)."""
     need = required_samples(cfg)
     if xb.shape[-1] < need:  # static: pad short buffers to the demod window
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
@@ -401,19 +383,49 @@ def demodulate(
             head, fine_total = jax.vmap(
                 jax.vmap(lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T))
             )(xs, t0, t_cand, found_pre)
+    return xb, head, fine_total, t0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused")
+)
+def _payload_stage(
+    xb: IQ, head: DemodResult, fine_total, t0,
+    cfg: LoRaConfig, debug: bool, max_frames: int, fused: str,
+):
+    """Stage 4 + epilogue: payload gather, detect, symbol emission."""
+    interpret = fused == "interpret"
+    use_fused = pallas_demod.supported(cfg.N) and (
+        interpret or (fused == "auto" and jax.default_backend() == "tpu")
+    )
     # fast payload gather: whole rows on the N-grid, then the sub-window
     # shift on-chip (sample-granular gathers run ~60x slower on TPU)
     data_start = head.consumed
     dec = raw = None
     if use_fused and not debug:
         # fully fused payload: gather rows once; roll + dechirp + DFT +
-        # peak happen in VMEM (ops/pallas_demod.payload_detect)
+        # peak happen in VMEM (ops/pallas_demod.payload_detect).
+        # optimization_barriers pin the track-kernel -> gather -> payload-
+        # kernel materialization order: without them XLA's scheduling of
+        # the two Mosaic calls in one program hard-crashes the chip at
+        # N >= 2048 once B exceeds ~96 (worker kernel fault, bisected on
+        # hardware; outputs are unchanged — the barrier only forces the
+        # already-materialized intermediate)
+        data_start, fine_total, xb = jax.lax.optimization_barrier(
+            (data_start, fine_total, xb)
+        )
         g = shift_ops.gather_rows(
             xb, data_start // cfg.N, _payload_gather_rows(cfg), cfg.N
+        )
+        g, data_start, fine_total = jax.lax.optimization_barrier(
+            (g, data_start, fine_total)
         )
         val, pwr, nse = pallas_demod.payload_detect(
             g, data_start % cfg.N, fine_total, cfg.mtu, interpret=interpret
         )
+        # airlock the kernel outputs too (crash persists with input-side
+        # barriers alone when the epilogue fuses against the custom call)
+        val, pwr, nse = jax.lax.optimization_barrier((val, pwr, nse))
         dd = det_ops.DetectResult(
             value=val, power=pwr, noise=nse, f_index=jnp.zeros_like(pwr)
         )
@@ -435,13 +447,69 @@ def demodulate(
     # consumed temporarily holds data_start; restore t0 for the not-found
     # lanes after the epilogue computes the real value
     res = _payload_epilogue(head, dd, cfg)
-    res = dataclasses.replace(
+    return dataclasses.replace(
         res,
         consumed=jnp.where(res.found, res.consumed, t0).astype(jnp.int32),
         dec=dec,
         fft_mag2=dd.mag2 if debug else None,
         raw=raw,
     )
+
+
+def demodulate(
+    x: jax.Array, cfg: LoRaConfig, debug: bool = False, max_frames: int = 1,
+    fused: str = "auto",
+):
+    """Demodulate frames out of each channel buffer.
+
+    x: planar IQ (or complex array, converted) [B, T] (or [T]) baseband at
+    1 sample/chip; buffers shorter than required_samples(cfg) are padded.
+    Returns a :class:`DemodResult`; with debug=True it also carries the
+    aligned payload sample windows, their dechirped copies and spectra (the
+    reference's `raw`/`dec`/`fft` debug ports, LoRaDemod.cpp:81-83).
+
+    max_frames > 1 tracks up to that many frames per buffer in one call
+    (result leaves gain a trailing candidate axis [..., K]; candidates are
+    time-ordered, unused slots report found=False).  Memory and payload
+    compute scale with K.
+
+    fused: "auto" routes the tracking + payload stages to the fused Pallas
+    kernels on TPU backends; "off" forces the XLA reference path;
+    "interpret" runs the fused kernels in interpreter mode on any backend
+    (cross-validation in tests).
+
+    Dispatch note (hardware bug workaround, bisected live on a v5e): at
+    N >= 2048, programs containing the fused Mosaic kernels crash the TPU
+    worker with increasing probability as the channel count grows (first
+    observed crashes between B=96 and B=100; every kernel is stable in
+    isolation and at small B — tools/tpu_smoke.py covers B=16).  On TPU
+    at N >= 2048 with B > 64 channels, "auto" therefore falls back to the
+    XLA reference path (identical outputs, ~2-3x slower tracking stage)
+    until the underlying compiler/runtime fault is fixed.
+    """
+    x = cplx.as_iq(x)
+    squeeze = x.ndim == 1
+    xb = x if not squeeze else x.reshape(1, -1)
+    if (
+        fused == "auto"
+        and cfg.N >= 2048
+        and xb.shape[0] > 64
+        and jax.default_backend() == "tpu"
+    ):
+        fused = "off"
+    res = _demod_whole(xb, cfg, debug, max_frames, fused)
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)
     return res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused")
+)
+def _demod_whole(
+    xb: IQ, cfg: LoRaConfig, debug: bool, max_frames: int, fused: str
+):
+    xb, head, fine_total, t0 = _head_stage(xb, cfg, max_frames, fused)
+    return _payload_stage(
+        xb, head, fine_total, t0, cfg, debug, max_frames, fused
+    )
