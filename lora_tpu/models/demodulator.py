@@ -103,14 +103,14 @@ def _trunc_half(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * (jnp.abs(x) // 2)
 
 
-def _coarse(x: IQ, cfg: LoRaConfig):
+def _coarse(x: IQ, cfg: LoRaConfig, bf16: bool = False):
     """Stage 1: dechirp-detect every stride-N window; pairwise agreement
     map for the preamble search."""
     T = x.shape[-1]
     N = cfg.N
     W = T // N
     win = x[: W * N].reshape(W, N)
-    d0 = det_ops.dechirp_detect(win, want_f_index=False)
+    d0 = det_ops.dechirp_detect(win, want_f_index=False, bf16=bf16)
     snr0 = d0.power - d0.noise
     v = d0.value
     dv = jnp.abs(v[:-1] - v[1:])
@@ -231,12 +231,12 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
     return head, fine_total
 
 
-def _align_frame(x: IQ, cfg: LoRaConfig):
+def _align_frame(x: IQ, cfg: LoRaConfig, bf16: bool = False):
     """Single strongest-frame alignment (max_frames=1): earliest agreeing
     pair within 6 dB of the strongest (robust against noise windows passing
     the reference's permissive default threshold)."""
     T = x.shape[-1]
-    agree, pair_snr, v = _coarse(x, cfg)
+    agree, pair_snr, v = _coarse(x, cfg, bf16)
     score = jnp.where(agree, pair_snr, -jnp.inf)
     good = agree & (score >= jnp.max(score) - 6.0)
     first_w = jnp.argmax(good)
@@ -245,13 +245,14 @@ def _align_frame(x: IQ, cfg: LoRaConfig):
     return t_cand, t0, found_pre
 
 
-def _align_multi(x: IQ, cfg: LoRaConfig, max_frames: int):
+def _align_multi(x: IQ, cfg: LoRaConfig, max_frames: int,
+                 bf16: bool = False):
     """Multi-frame alignment: the first `max_frames` runs of agreeing pairs,
     in time order (false runs fail the sync scan and report found=False).
     The 6 dB near-far filter is skipped — coexisting frames may differ in
     power."""
     T = x.shape[-1]
-    agree, _, v = _coarse(x, cfg)
+    agree, _, v = _coarse(x, cfg, bf16)
     idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
     run_start = agree & ~jnp.concatenate([jnp.array([False]), agree[:-1]])
     # a real preamble (>= 6 chirps) yields >= 4 consecutive agreeing pairs;
@@ -295,7 +296,7 @@ def _payload_epilogue(head: DemodResult, dd, cfg: LoRaConfig):
 
 
 def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
-                 interpret: bool):
+                 interpret: bool, bf16: bool = False):
     """Stages 2-4 as one fused Pallas launch (ops/pallas_demod.track):
     row-granular gather of the scan block, in-kernel sub-window roll, sync
     scan + downchirp CFO.  Output-identical to the vmapped _scan_track."""
@@ -303,12 +304,8 @@ def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
     rows = shift_ops.gather_rows(
         xb, t0 // N, pallas_demod.TRACK_ROWS, N
     )
-    # barrier: force the gathered rows to materialize in default layout
-    # before the Mosaic call (see the matching note in demodulate(); the
-    # gather->custom-call handoff crashes the chip at N >= 2048, B > ~96)
-    rows, t0 = jax.lax.optimization_barrier((rows, t0))
     tr = pallas_demod.track(
-        rows, t0 % N, cfg.sync, cfg.thresh, interpret=interpret
+        rows, t0 % N, cfg.sync, cfg.thresh, interpret=interpret, bf16=bf16
     )
     found = found_pre & tr["synced"]
     k_sync = tr["k_sync"]
@@ -336,6 +333,22 @@ def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
     return head, fine_total
 
 
+def _fused_mode(fused: str, N: int) -> tuple[bool, bool, bool]:
+    """Resolve the `fused` dispatch string -> (use_fused, interpret, bf16).
+
+    "auto"/"bf16" use the fused Pallas kernels on TPU backends (bf16 also
+    casts the DFT matmul operands, ops/pallas_detect._mxu_dot);
+    "interpret"/"interpret-bf16" force the kernels in interpreter mode on
+    any backend (cross-validation); "off" forces the XLA reference path."""
+    interpret = fused in ("interpret", "interpret-bf16")
+    bf16 = fused in ("bf16", "interpret-bf16")
+    use = pallas_demod.supported(N) and (
+        interpret
+        or (fused in ("auto", "bf16") and jax.default_backend() == "tpu")
+    )
+    return use, interpret, bf16
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_frames", "fused")
 )
@@ -347,21 +360,20 @@ def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
         xb = cplx.pad(xb, ((0, 0), (0, need - xb.shape[-1])))
     T = xb.shape[-1]
     n_rows = MAX_SYNC_SEARCH + 4
-    interpret = fused == "interpret"
-    use_fused = pallas_demod.supported(cfg.N) and (
-        interpret or (fused == "auto" and jax.default_backend() == "tpu")
-    )
+    use_fused, interpret, bf16 = _fused_mode(fused, cfg.N)
+    # the coarse detector only takes the bf16 cast on the real-TPU Pallas
+    # route (detect.dechirp_detect ignores it on the XLA fallback)
     if max_frames == 1:
         t_cand, t0, found_pre = jax.vmap(
-            lambda row: _align_frame(row, cfg)
+            lambda row: _align_frame(row, cfg, bf16)
         )(xb)
     else:
         t_cand, t0, found_pre = jax.vmap(
-            lambda row: _align_multi(row, cfg, max_frames)
+            lambda row: _align_multi(row, cfg, max_frames, bf16)
         )(xb)
     if use_fused:
         head, fine_total = _fused_track(
-            xb, cfg, t0, t_cand, found_pre, T, interpret
+            xb, cfg, t0, t_cand, found_pre, T, interpret, bf16
         )
     else:
         # scan window block: plain XLA gather, one sample-granular slice
@@ -394,38 +406,21 @@ def _payload_stage(
     cfg: LoRaConfig, debug: bool, max_frames: int, fused: str,
 ):
     """Stage 4 + epilogue: payload gather, detect, symbol emission."""
-    interpret = fused == "interpret"
-    use_fused = pallas_demod.supported(cfg.N) and (
-        interpret or (fused == "auto" and jax.default_backend() == "tpu")
-    )
+    use_fused, interpret, bf16 = _fused_mode(fused, cfg.N)
     # fast payload gather: whole rows on the N-grid, then the sub-window
     # shift on-chip (sample-granular gathers run ~60x slower on TPU)
     data_start = head.consumed
     dec = raw = None
     if use_fused and not debug:
         # fully fused payload: gather rows once; roll + dechirp + DFT +
-        # peak happen in VMEM (ops/pallas_demod.payload_detect).
-        # optimization_barriers pin the track-kernel -> gather -> payload-
-        # kernel materialization order: without them XLA's scheduling of
-        # the two Mosaic calls in one program hard-crashes the chip at
-        # N >= 2048 once B exceeds ~96 (worker kernel fault, bisected on
-        # hardware; outputs are unchanged — the barrier only forces the
-        # already-materialized intermediate)
-        data_start, fine_total, xb = jax.lax.optimization_barrier(
-            (data_start, fine_total, xb)
-        )
+        # peak happen in VMEM (ops/pallas_demod.payload_detect)
         g = shift_ops.gather_rows(
             xb, data_start // cfg.N, _payload_gather_rows(cfg), cfg.N
         )
-        g, data_start, fine_total = jax.lax.optimization_barrier(
-            (g, data_start, fine_total)
-        )
         val, pwr, nse = pallas_demod.payload_detect(
-            g, data_start % cfg.N, fine_total, cfg.mtu, interpret=interpret
+            g, data_start % cfg.N, fine_total, cfg.mtu, interpret=interpret,
+            bf16=bf16,
         )
-        # airlock the kernel outputs too (crash persists with input-side
-        # barriers alone when the epilogue fuses against the custom call)
-        val, pwr, nse = jax.lax.optimization_barrier((val, pwr, nse))
         dd = det_ops.DetectResult(
             value=val, power=pwr, noise=nse, f_index=jnp.zeros_like(pwr)
         )
@@ -474,9 +469,12 @@ def demodulate(
     compute scale with K.
 
     fused: "auto" routes the tracking + payload stages to the fused Pallas
-    kernels on TPU backends; "off" forces the XLA reference path;
-    "interpret" runs the fused kernels in interpreter mode on any backend
-    (cross-validation in tests).
+    kernels on TPU backends; "bf16" additionally casts the kernels' DFT
+    matmul operands to bfloat16 with f32 accumulation (the v5e MXU's
+    native precision — same symbol decisions, dB outputs move < 0.05 dB,
+    ~1.3-2x faster detection stages); "off" forces the XLA reference
+    path; "interpret" / "interpret-bf16" run the fused kernels in
+    interpreter mode on any backend (cross-validation in tests).
 
     Dispatch note (hardware bug workaround, bisected live on a v5e): at
     N >= 2048, programs containing the fused Mosaic kernels crash the TPU
@@ -491,7 +489,7 @@ def demodulate(
     squeeze = x.ndim == 1
     xb = x if not squeeze else x.reshape(1, -1)
     if (
-        fused == "auto"
+        fused in ("auto", "bf16")
         and cfg.N >= 2048
         and xb.shape[0] > 64
         and jax.default_backend() == "tpu"

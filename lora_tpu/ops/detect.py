@@ -114,12 +114,16 @@ def dechirp_detect(
     want_mag2: bool = False,
     fft_impl: str = "auto",
     want_f_index: bool = True,
+    bf16: bool = False,
 ) -> DetectResult:
     """Fused dechirp + detect over sample windows [..., N].
 
     On TPU, batched window stacks route to the fused Pallas kernel
     (ops/pallas_detect.py, ~2x the XLA matmul path); single windows (the
     demodulator's sequential sync scan) and debug taps stay on XLA.
+    bf16=True casts the Pallas kernel's DFT matmul operands to bfloat16
+    with f32 accumulation (ops/pallas_detect._mxu_dot); it only affects
+    the Pallas route — the XLA fallback stays f32.
     """
     x = cplx.as_iq(x)
     if fft_impl in ("auto", "pallas") and not want_mag2:
@@ -136,6 +140,6 @@ def dechirp_detect(
         )
         if use:
             return pallas_detect.dechirp_detect_pallas(
-                x, down, ferr, want_findex=want_f_index
+                x, down, ferr, want_findex=want_f_index, bf16=bf16
             )
     return detect(dechirp(x, down, ferr), want_mag2=want_mag2, fft_impl=fft_impl)

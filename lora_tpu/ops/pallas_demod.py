@@ -100,9 +100,10 @@ def _track_tc(N: int) -> int:
 # shared in-kernel pieces
 # --------------------------------------------------------------------------
 
-def _detect_args(N: int):
+def _detect_args(N: int, bf16: bool = False):
     """Static (specs, arrays, kernel-side detect closure factory) for the
-    direct / four-step DFT variants."""
+    direct / four-step DFT variants.  bf16 casts the MXU contraction
+    operands (see ops/pallas_detect._mxu_dot)."""
     const = lambda shape: pl.BlockSpec(
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -115,7 +116,7 @@ def _detect_args(N: int):
             fr, fi = (r[:] for r in refs)
 
             def det(zr, zi, want_findex):
-                return direct_vals(zr, zi, fr, fi, want_findex)
+                return direct_vals(zr, zi, fr, fi, want_findex, bf16)
 
             return det
 
@@ -134,7 +135,9 @@ def _detect_args(N: int):
         f1r, f1i, twr, twi = (r[:] for r in refs)
 
         def det(zr, zi, want_findex):
-            return four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex)
+            return four_step_vals(
+                zr, zi, f1r, f1i, twr, twi, w2, want_findex, bf16
+            )
 
         return det
 
@@ -192,17 +195,17 @@ def _payload_kernel_factory(N, TWM, tiles, make_det):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mtu", "interpret")
+    jax.jit, static_argnames=("mtu", "interpret", "bf16")
 )
 def _payload_flat(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
-                  interpret: bool):
+                  interpret: bool, bf16: bool = False):
     """g: IQ [B, Rp, N] aligned rows; rs: int32 [B] sub-window shifts;
     fe: float32 [B] fine CFO -> (value i32, power f32, noise f32) [B, mtu]."""
     B, Rp, N = g.shape
     TWM, tiles, rp_need = payload_geometry(N, mtu)
     assert Rp == rp_need, (Rp, rp_need)
     M8 = TWM * tiles
-    det_specs, det_arrays, make_det = _detect_args(N)
+    det_specs, det_arrays, make_det = _detect_args(N, bf16)
     row3 = lambda b, t, *_: (b, t, 0)
     if tiles == 1:
         nxt3 = lambda b, t, *_: (b, 0, 0)  # wrap rows discarded
@@ -261,7 +264,8 @@ def _payload_flat(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
     )
 
 
-def payload_detect(g, rs, fe, mtu: int, interpret: bool = False):
+def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
+                   bf16: bool = False):
     """Fused payload stage: aligned rows g (IQ [..., Rp, N], Rp =
     payload_rows(N, mtu)), per-channel shift rs = data_start % N and fine
     CFO fe -> (value, power, noise) with shape [..., mtu].
@@ -276,7 +280,7 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False):
     gf = g.reshape(B, Rp, N)
     rsf = jnp.broadcast_to(jnp.asarray(rs), tuple(lead)).reshape(B)
     fef = jnp.broadcast_to(jnp.asarray(fe), tuple(lead)).reshape(B)
-    value, power, noise = _payload_flat(gf, rsf, fef, mtu, interpret)
+    value, power, noise = _payload_flat(gf, rsf, fef, mtu, interpret, bf16)
     shp = lambda a: a.reshape(*lead, mtu)
     return shp(value), shp(power), shp(noise)
 
@@ -383,10 +387,10 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sync0", "sync1", "thresh", "interpret")
+    jax.jit, static_argnames=("sync0", "sync1", "thresh", "interpret", "bf16")
 )
 def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
-                thresh: float, interpret: bool):
+                thresh: float, interpret: bool, bf16: bool = False):
     """xs: IQ [B, TRACK_ROWS, N] aligned rows at t0//N; rs = t0 % N."""
     B, R, N = xs.shape
     assert R == TRACK_ROWS, (R, TRACK_ROWS)
@@ -396,7 +400,7 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
         xs = cplx.pad(xs, ((0, pad), (0, 0), (0, 0)))
         rs = jnp.pad(rs, (0, pad))
     Bp = B + pad
-    det_specs, det_arrays, make_det = _detect_args(N)
+    det_specs, det_arrays, make_det = _detect_args(N, bf16)
     cre, cim = _dechirp_table_np(N, False)
     dre, dim = _dechirp_table_np(N, True)
     const = lambda shape: pl.BlockSpec(
@@ -465,7 +469,8 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
     }
 
 
-def track(xs, rs, sync: int, thresh: float, interpret: bool = False):
+def track(xs, rs, sync: int, thresh: float, interpret: bool = False,
+          bf16: bool = False):
     """Fused tracking stage over aligned scan rows.
 
     xs: IQ [..., TRACK_ROWS, N] rows gathered at t0 // N; rs = t0 % N.
@@ -480,6 +485,6 @@ def track(xs, rs, sync: int, thresh: float, interpret: bool = False):
     xsf = xs.reshape(B, R, N)
     rsf = jnp.broadcast_to(jnp.asarray(rs), tuple(lead)).reshape(B)
     out = _track_flat(
-        xsf, rsf, sync >> 4, sync & 0xF, float(thresh), interpret
+        xsf, rsf, sync >> 4, sync & 0xF, float(thresh), interpret, bf16
     )
     return {k: v.reshape(*lead) for k, v in out.items()}

@@ -92,6 +92,57 @@ def test_fused_demod_bit_identical_sf7(rng):
     )
 
 
+@pytest.mark.parametrize("N,mtu", [(128, 20), (1024, 20)])
+def test_payload_kernel_bf16_same_decisions(N, mtu, rng):
+    """bf16 MXU casts keep symbol decisions identical and move dB outputs
+    by well under the 0.05 dB documented bound (ops/pallas_detect._mxu_dot)
+    on signal-bearing windows (pure-noise windows have near-tie peaks whose
+    argmax legitimately differs at bf16 precision)."""
+    B, rp = 4, pallas_demod.payload_geometry(N, mtu)[2]
+    n = np.arange(N)
+    # distinct chirp symbols per row + mild noise: realistic peak margins
+    sym = rng.integers(0, N, (B, rp))
+    ph = 2 * np.pi * ((sym[..., None] + n) ** 2 % (2 * N)) / (2 * N)
+    g = cplx.IQ(
+        jnp.asarray(np.cos(ph) + 0.1 * rng.standard_normal((B, rp, N)),
+                    jnp.float32),
+        jnp.asarray(np.sin(ph) + 0.1 * rng.standard_normal((B, rp, N)),
+                    jnp.float32),
+    )
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    fe = jnp.asarray(rng.standard_normal(B) * 0.4, jnp.float32)
+    val32, pwr32, _ = pallas_demod.payload_detect(g, rs, fe, mtu,
+                                                  interpret=True)
+    val16, pwr16, _ = pallas_demod.payload_detect(g, rs, fe, mtu,
+                                                  interpret=True, bf16=True)
+    np.testing.assert_array_equal(np.asarray(val32), np.asarray(val16))
+    np.testing.assert_allclose(
+        np.asarray(pwr32), np.asarray(pwr16), atol=0.05
+    )
+
+
+def test_fused_demod_bf16_same_packets(rng):
+    """End-to-end: fused="interpret-bf16" recovers the identical packets
+    (symbols, framing, timing) as the f32 XLA reference path."""
+    cfg = lora_tpu.LoRaConfig(sf=7, cr="4/7", ampl=1.0, mtu=24)
+    bank = _impaired_bank(cfg, rng, B=5)
+    ref = demodulate(bank, cfg, fused="off")
+    b16 = demodulate(bank, cfg, fused="interpret-bf16")
+    assert bool(np.all(np.asarray(ref.found)))
+    for f in ("found", "t_sync", "freq_error", "count", "consumed",
+              "symbols", "payload_complete"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(b16, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.fine_freq), np.asarray(b16.fine_freq), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.snr), np.asarray(b16.snr), atol=0.1
+    )
+
+
 def test_fused_demod_multiframe(rng):
     cfg = lora_tpu.LoRaConfig(sf=7, cr="4/5", ampl=1.0, mtu=16)
     payload = jnp.asarray(rng.integers(0, 256, (2, 4), dtype=np.uint8))
