@@ -62,7 +62,8 @@ TRACK_ROWS = N_TRACK_WIN + 1  # aligned rows needed (one extra for the roll)
 
 @functools.lru_cache(maxsize=None)
 def payload_geometry(N: int, mtu: int) -> tuple[int, int, int]:
-    """(windows_per_tile, tiles, gathered_rows) for the payload kernel.
+    """(windows_per_tile, tiles, gathered_rows) for the TILED payload
+    kernel (one channel per grid cell, TWM windows per tile).
 
     The kernel processes TWM windows per grid cell; window w needs aligned
     rows w and w+1, so each channel gathers Rp >= mtu+1 rows.  TWM divides
@@ -79,8 +80,36 @@ def payload_geometry(N: int, mtu: int) -> tuple[int, int, int]:
     return twm, tiles, rp
 
 
+# flat-kernel block budget: M*N <= _FLAT_MAX keeps each (M, N) f32 block
+# at <= 1 MB (<= 8 MB of double-buffered IQ input + roll temps in VMEM)
+_FLAT_MAX = 1 << 18
+
+
+@functools.lru_cache(maxsize=None)
+def payload_flat_geometry(N: int, mtu: int) -> tuple[int, int] | None:
+    """(rows_per_channel Rp, channels_per_cell PC) for the FLAT payload
+    kernel, or None when one channel's rows alone blow the block budget
+    (large mtu x large N -> fall back to the tiled kernel).
+
+    The flat kernel stacks PC whole channels' aligned rows into one
+    (PC*Rp, N) block: per-row barrel roll handles per-channel shifts, and
+    the row-(w, w+1) window pairing is a single static sublane roll, so a
+    grid cell is one MXU-sized detect over every window of PC channels.
+    Channel-boundary wrap rows land on window indices >= mtu (Rp > mtu)
+    and are discarded by the [:, :mtu] output slice.
+    """
+    rp = 8 * (mtu // 8 + 1)  # rows strictly > mtu, 8-aligned
+    if rp * N > _FLAT_MAX:
+        return None
+    pc = max(1, min(1024 // rp, _FLAT_MAX // (rp * N)))
+    return rp, pc
+
+
 def payload_rows(N: int, mtu: int) -> int:
     """Aligned rows each channel must gather for payload_detect."""
+    flat = payload_flat_geometry(N, mtu)
+    if flat is not None:
+        return flat[0]
     return payload_geometry(N, mtu)[2]
 
 
@@ -90,9 +119,9 @@ def _track_tc(N: int) -> int:
     is safe VMEM-wise even at N=4096 (inputs 2x8x18xNx4 double-buffered +
     34 (TC,N) window scratches ~= 19 MB < the 40 MB limit below)."""
     tc = (1 << 21) // (TRACK_ROWS * N * 4)
-    # cap 32: the kernel's per-channel roll loop serializes within a cell,
-    # so more channels/cell loses more than the wider DFT rows gain
-    # (TC=128 at N=128 measured ~10x slower than TC=32)
+    # cap 32 was tuned against the round-1 per-channel roll loop; the
+    # barrel-shift roll no longer serializes the cell, but the cap stays
+    # until a hardware sweep says wider cells win (TODO: retune on-chip)
     return max(8, min(32, (tc // 8) * 8))
 
 
@@ -165,7 +194,111 @@ def _trunc_half_i32(x):
 
 
 # --------------------------------------------------------------------------
-# payload kernel: roll + dechirp + derotate + DFT + peak in one pass
+# flat payload kernel: PC whole channels per cell, no scratch, one detect
+# --------------------------------------------------------------------------
+
+def _payload_flat_kernel_factory(N, M, make_det):
+    def kernel(shv, fev, gr, gi, cr, ci, *rest):
+        det_refs = rest[: len(rest) - 3]
+        value, power, noise = rest[len(rest) - 3:]
+        det = make_det(det_refs)
+        sh = shv[:]                                    # (M, 1) int32
+        fe = fev[:]                                    # (M, 1) f32
+        vr, vi = gr[:], gi[:]
+        # per-row lane roll by sh = (N - r) % N, as a barrel shifter
+        for b in range(N.bit_length() - 1):            # sh < N
+            amt = 1 << b
+            mbit = (sh & amt) != 0
+            vr = jnp.where(mbit, pltpu.roll(vr, amt, 1), vr)
+            vi = jnp.where(mbit, pltpu.roll(vi, amt, 1), vi)
+        # window w = rolled row w up to lane N-r, then rolled row w+1;
+        # "row w+1" for every row at once is one static sublane roll
+        # (wrap rows pair across channels/cells -> windows >= mtu, cut
+        # by the XLA-side [:, :mtu] slice)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        maskN = lane < jnp.where(sh == 0, N, sh)       # (M, N)
+        win_r = jnp.where(maskN, vr, pltpu.roll(vr, M - 1, 0))
+        win_i = jnp.where(maskN, vi, pltpu.roll(vi, M - 1, 0))
+        zr, zi = dechirp_derotate_vals(win_r, win_i, cr[:], ci[:], fe)
+        val, pwr, nse, _ = det(zr, zi, False)
+        value[:] = val
+        power[:] = pwr
+        noise[:] = nse
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mtu", "interpret", "bf16")
+)
+def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
+                     interpret: bool, bf16: bool = False):
+    """Flat multi-channel payload kernel.  g: IQ [B, Rp, N] aligned rows
+    (Rp = payload_flat_geometry rows); rs: int32 [B]; fe: f32 [B] ->
+    (value i32, power f32, noise f32) [B, mtu]."""
+    B, Rp, N = g.shape
+    rp_need, pc = payload_flat_geometry(N, mtu)
+    assert Rp == rp_need, (Rp, rp_need)
+    M = pc * Rp
+    pad = (-B) % pc
+    if pad:
+        g = cplx.pad(g, ((0, pad), (0, 0), (0, 0)))
+        rs = jnp.pad(rs, (0, pad))
+        fe = jnp.pad(fe, (0, pad))
+    Bp = B + pad
+    det_specs, det_arrays, make_det = _detect_args(N, bf16)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    cre, cim = _dechirp_table_np(N, False)
+    sh_rows = jnp.repeat((N - rs.astype(jnp.int32)) % N, Rp).reshape(-1, 1)
+    fe_rows = jnp.repeat(fe.astype(jnp.float32), Rp).reshape(-1, 1)
+    row2 = lambda i: (i, 0)
+    in_specs = [
+        pl.BlockSpec((M, 1), row2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, 1), row2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, N), row2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, N), row2, memory_space=pltpu.VMEM),
+        const((1, N)),
+        const((1, N)),
+    ] + det_specs
+    out_spec = pl.BlockSpec((M, 1), row2, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(Bp // pc,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+    )
+    kernel = _payload_flat_kernel_factory(N, M, make_det)
+    value, power, noise = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * Bp * Rp * N * (min(N, 128) + max(1, N // 128)),
+            bytes_accessed=Bp * Rp * N * 8 + Bp * Rp * 12,
+            transcendentals=2 * Bp * Rp * N,
+        ),
+        interpret=interpret,
+    )(sh_rows,
+      fe_rows,
+      g.re.reshape(Bp * Rp, N), g.im.reshape(Bp * Rp, N),
+      jnp.asarray(cre)[None], jnp.asarray(cim)[None],
+      *det_arrays)
+    cut = lambda a: a.reshape(Bp, Rp)[:B, :mtu]
+    return cut(value), cut(power), cut(noise)
+
+
+# --------------------------------------------------------------------------
+# tiled payload kernel: roll + dechirp + derotate + DFT + peak in one pass
+# (fallback for mtu x N too large for a whole-channel flat block)
 # --------------------------------------------------------------------------
 
 def _payload_kernel_factory(N, TWM, tiles, make_det):
@@ -197,8 +330,8 @@ def _payload_kernel_factory(N, TWM, tiles, make_det):
 @functools.partial(
     jax.jit, static_argnames=("mtu", "interpret", "bf16")
 )
-def _payload_flat(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
-                  interpret: bool, bf16: bool = False):
+def _payload_tiled(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
+                   interpret: bool, bf16: bool = False):
     """g: IQ [B, Rp, N] aligned rows; rs: int32 [B] sub-window shifts;
     fe: float32 [B] fine CFO -> (value i32, power f32, noise f32) [B, mtu]."""
     B, Rp, N = g.shape
@@ -273,14 +406,20 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
     Window w of channel c is g[c, w, rs[c]:] ++ g[c, w+1, :rs[c]]
     dechirp-detected with derotation exp(-2j pi fe n / N) — exactly
     shift.shift_windows + detect.dechirp_detect(want_f_index=False), in one
-    HBM pass."""
+    HBM pass.  Routes to the flat multi-channel kernel when a whole
+    channel's rows fit the block budget (payload_flat_geometry), else the
+    per-channel tiled kernel."""
     g = cplx.as_iq(g)
     *lead, Rp, N = g.shape
     B = int(np.prod(lead)) if lead else 1
     gf = g.reshape(B, Rp, N)
     rsf = jnp.broadcast_to(jnp.asarray(rs), tuple(lead)).reshape(B)
     fef = jnp.broadcast_to(jnp.asarray(fe), tuple(lead)).reshape(B)
-    value, power, noise = _payload_flat(gf, rsf, fef, mtu, interpret, bf16)
+    impl = (
+        _payload_flat_pc if payload_flat_geometry(N, mtu) is not None
+        else _payload_tiled
+    )
+    value, power, noise = impl(gf, rsf, fef, mtu, interpret, bf16)
     shp = lambda a: a.reshape(*lead, mtu)
     return shp(value), shp(power), shp(noise)
 
@@ -291,35 +430,49 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
 
 def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
     NW = N_TRACK_WIN
+    R = TRACK_ROWS
 
-    def kernel(rs, xr, xi, cur, cui, cdr, cdi, *rest):
-        n_scratch = 2 * NW + 2
+    def kernel(shv, xr, xi, cur, cui, cdr, cdi, *rest):
+        n_scratch = 2 * R
         det_refs = rest[: len(rest) - 6 - n_scratch]
         outs = rest[len(rest) - 6 - n_scratch: len(rest) - n_scratch]
         o_state, o_ksync, o_fqerr, o_ferr, o_pwr, o_snr = outs
-        swr = rest[len(rest) - n_scratch: len(rest) - NW - 2]
-        swi = rest[len(rest) - NW - 2: len(rest) - 2]
-        s_r, s_i = rest[len(rest) - 2:]
-        i = pl.program_id(0)
+        ror = rest[len(rest) - n_scratch: len(rest) - R]
+        roi = rest[len(rest) - R:]
         det = make_det(det_refs)
         cu_r, cu_i = cur[:], cui[:]
         cd_r, cd_i = cdr[:], cdi[:]
 
-        # 1. per-channel sub-window alignment roll into the window scratch
-        #    (lane-roll staged through s_r/s_i; see _lane_mask notes)
-        for c in range(TC):
-            r = rs[i * TC + c]
-            sh = (N - r) % N
-            s_r[:, :] = pltpu.roll(xr[c], sh, 1)
-            s_i[:, :] = pltpu.roll(xi[c], sh, 1)
-            mask = _lane_mask(N, r)
-            for k in range(NW):
-                swr[k][c : c + 1, :] = jnp.where(
-                    mask, s_r[k : k + 1, :], s_r[k + 1 : k + 2, :]
-                )
-                swi[k][c : c + 1, :] = jnp.where(
-                    mask, s_i[k : k + 1, :], s_i[k + 1 : k + 2, :]
-                )
+        # 1. per-channel sub-window alignment roll, vectorized over the
+        #    whole channel block: a lane-roll by sh[c] = (N - r[c]) % N is
+        #    decomposed into log2(N) STATIC rolls gated per channel row by
+        #    the bits of sh (a barrel shifter).  Replaces the round-1
+        #    per-channel dynamic-roll loop, which serialized the cell (and
+        #    capped TC at 32 profitably); every step here is a full
+        #    (TC, N) VPU op.  xr/xi arrive window-major ([R, TC, N]), so
+        #    each window block is one leading-dim slice.
+        sh = shv[:]                                    # (TC, 1) int32
+        for k in range(R):
+            vr, vi = xr[k], xi[k]
+            for b in range(N.bit_length() - 1):        # sh < N
+                amt = 1 << b
+                m = (sh & amt) != 0
+                vr = jnp.where(m, pltpu.roll(vr, amt, 1), vr)
+                vi = jnp.where(m, pltpu.roll(vi, amt, 1), vi)
+            ror[k][:, :] = vr
+            roi[k][:, :] = vi
+
+        # window k of channel c = rolled[k] up to lane N - r[c], then
+        # rolled[k+1] (the wrap lanes carry the next row's head); sh == 0
+        # means no shift, i.e. the whole row comes from rolled[k]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        maskN = lane < jnp.where(sh == 0, N, sh)       # (TC, N)
+
+        def swr(k):
+            return jnp.where(maskN, ror[k][:], ror[k + 1][:])
+
+        def swi(k):
+            return jnp.where(maskN, roi[k][:], roi[k + 1][:])
 
         # 2. sync scan with two-symbol lookahead and fine-CFO integration
         #    (models/demodulator._scan_track, LoRaDemod.cpp:183-237)
@@ -330,13 +483,13 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
         thr = jnp.float32(thresh)
         for k in range(N_SCAN):
             zr, zi = dechirp_derotate_vals(
-                swr[k][:], swi[k][:], cu_r, cu_i, ferr
+                swr(k), swi(k), cu_r, cu_i, ferr
             )
             val, pwr, nse, fidx = det(zr, zi, True)
             squelched = (pwr - nse) < thr
             q = (val + 4) // 8
             z1r, z1i = dechirp_derotate_vals(
-                swr[k + 1][:], swi[k + 1][:], cu_r, cu_i, ferr
+                swr(k + 1), swi(k + 1), cu_r, cu_i, ferr
             )
             val1, _, _, _ = det(z1r, z1i, False)
             q1 = (val1 + 4) // 8
@@ -365,10 +518,11 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
         for k in range(2, NW):
             m0 = (k_sync + 2 == k).astype(jnp.float32)
             m1 = (k_sync + 3 == k).astype(jnp.float32)
-            dc0r = dc0r + m0 * swr[k][:]
-            dc0i = dc0i + m0 * swi[k][:]
-            dc1r = dc1r + m1 * swr[k][:]
-            dc1i = dc1i + m1 * swi[k][:]
+            wr, wi = swr(k), swi(k)
+            dc0r = dc0r + m0 * wr
+            dc0i = dc0i + m0 * wi
+            dc1r = dc1r + m1 * wr
+            dc1i = dc1i + m1 * wi
         z0r, z0i = dechirp_derotate_vals(dc0r, dc0i, cd_r, cd_i, ferr)
         v0, _, _, _ = det(z0r, z0i, False)
         z1r, z1i = dechirp_derotate_vals(dc1r, dc1i, cd_r, cd_i, ferr)
@@ -406,12 +560,18 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
     const = lambda shape: pl.BlockSpec(
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    # window-major layout: the kernel's barrel roll works on (TC, N)
+    # window blocks, so rows go in as [R, Bp, N] leading-dim slices
+    xw_re = jnp.transpose(xs.re, (1, 0, 2))
+    xw_im = jnp.transpose(xs.im, (1, 0, 2))
+    shv = ((N - rs.astype(jnp.int32)) % N).reshape(Bp, 1)
     in_specs = [
+        pl.BlockSpec((TC, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (TC, R, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (R, TC, N), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (TC, R, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (R, TC, N), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         const((1, N)),
         const((1, N)),
@@ -419,15 +579,14 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
         const((1, N)),
     ] + det_specs
     out_spec = pl.BlockSpec(
-        (TC, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        (TC, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(Bp // TC,),
         in_specs=in_specs,
         out_specs=[out_spec] * 6,
-        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * N_TRACK_WIN)
-        + [pltpu.VMEM((TRACK_ROWS, N), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * TRACK_ROWS),
     )
     kernel = _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det)
     n_det = 2 * N_SCAN + 2
@@ -453,7 +612,7 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
             transcendentals=2 * Bp * n_det * N,
         ),
         interpret=interpret,
-    )(rs.astype(jnp.int32), xs.re, xs.im,
+    )(shv, xw_re, xw_im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       jnp.asarray(dre)[None], jnp.asarray(dim)[None],
       *det_arrays)

@@ -168,16 +168,26 @@ def test_golden_fec_tables():
 def test_golden_interleaver():
     from lora_tpu.ops import codes
 
-    # 30 distinct (ppm, rdd) shapes = 30 jit compiles; the ops are tiny, so
-    # run them eagerly (same assertions, ~30s -> ~1s)
-    with jax.disable_jit():
-        for ppm in range(7, 13):
-            for rdd in range(5):
-                cw = jnp.asarray(GOLDEN[f"il_cw_ppm{ppm}_rdd{rdd}"], jnp.int32)
-                sym = np.asarray(codes.interleave(cw[None], ppm, rdd)[0])
-                np.testing.assert_array_equal(
-                    sym, GOLDEN[f"il_sym_ppm{ppm}_rdd{rdd}"]
-                )
+    # 30 distinct (ppm, rdd) shapes: one jit program holding all 30 tiny
+    # gathers compiles once (~2s) — separate compiles (or eager per-op
+    # compiles under disable_jit) cost ~26s on this 1-core box
+    combos = [(ppm, rdd) for ppm in range(7, 13) for rdd in range(5)]
+    cws = [
+        jnp.asarray(GOLDEN[f"il_cw_ppm{ppm}_rdd{rdd}"], jnp.int32)
+        for ppm, rdd in combos
+    ]
+
+    @jax.jit
+    def all_combos(cw_list):
+        return [
+            codes.interleave(cw[None], ppm, rdd)[0]
+            for cw, (ppm, rdd) in zip(cw_list, combos)
+        ]
+
+    for (ppm, rdd), sym in zip(combos, all_combos(cws)):
+        np.testing.assert_array_equal(
+            np.asarray(sym), GOLDEN[f"il_sym_ppm{ppm}_rdd{rdd}"]
+        )
 
 
 @pytest.mark.parametrize("sf", range(7, 13))

@@ -29,18 +29,19 @@ def test_clean_loopback_all_sf(sf, rng):
     assert got == [bytes(p.tolist()) for p in payload]
 
 
-@pytest.mark.parametrize("cr", ["4/7", "4/8"])
-def test_noisy_loopback_reference_operating_point(cr, rng):
-    # TestLoopback.cpp:93-101: SF10, signal 1.0 vs NORMAL noise 4.0
-    lengths = [8, 33, 64]
-    cfg = LoRaConfig(sf=10, cr=cr, ampl=1.0)
-    for i, L in enumerate(lengths):
+def test_noisy_loopback_reference_operating_point(rng):
+    # TestLoopback.cpp:93-101: SF10, signal 1.0 vs NORMAL noise 4.0.
+    # Each (cr, length) is a distinct mtu -> a fresh SF10 demod compile
+    # (the suite's most expensive program), so sample the grid instead of
+    # crossing it: both CRs, all three reference lengths, 3 compiles.
+    for i, (cr, L) in enumerate([("4/8", 8), ("4/7", 33), ("4/8", 64)]):
+        cfg = LoRaConfig(sf=10, cr=cr, ampl=1.0)
         payload = rng.integers(0, 256, size=(2, L)).astype(np.uint8)
         c = cfg.replace(mtu=mtu_for(cfg, L))
         dec, dem = api.loopback(payload, c, noise_amplitude=4.0, seed=i)
-        assert np.all(np.asarray(dem.found)), f"len {L}"
+        assert np.all(np.asarray(dem.found)), f"{cr} len {L}"
         got = api.extract_payloads(dec)
-        assert got == [bytes(p.tolist()) for p in payload], f"len {L}"
+        assert got == [bytes(p.tolist()) for p in payload], f"{cr} len {L}"
 
 
 def test_loopback_with_timing_offset(rng):

@@ -16,17 +16,22 @@ from lora_tpu.sim import channel as ch
 
 
 @pytest.mark.parametrize(
-    "N,mtu",
+    "N,mtu,tiled",
     [
-        (128, 20),   # direct DFT, single tile
-        (512, 136),  # four-step, two tiles (next-block roll context)
-        (1024, 20),  # four-step, single tile
+        (128, 20, False),   # flat kernel, direct DFT, PC > 1
+        (512, 136, False),  # flat kernel, four-step, PC > 1
+        (1024, 20, False),  # flat kernel, four-step
+        (512, 136, True),   # tiled fallback, two tiles (next-block context)
     ],
 )
-def test_payload_kernel_matches_shift_plus_detect(N, mtu, rng):
-    twm, tiles, rp = pallas_demod.payload_geometry(N, mtu)
-    assert twm * tiles > mtu and rp >= mtu + 1
-    B = 4
+def test_payload_kernel_matches_shift_plus_detect(N, mtu, tiled, rng):
+    if tiled:
+        rp = pallas_demod.payload_geometry(N, mtu)[2]
+    else:
+        assert pallas_demod.payload_flat_geometry(N, mtu) is not None
+        rp = pallas_demod.payload_rows(N, mtu)
+    assert rp >= mtu + 1
+    B = 5  # deliberately not a multiple of the flat kernel's PC
     g = cplx.IQ(
         jnp.asarray(rng.standard_normal((B, rp, N)), jnp.float32),
         jnp.asarray(rng.standard_normal((B, rp, N)), jnp.float32),
@@ -37,7 +42,14 @@ def test_payload_kernel_matches_shift_plus_detect(N, mtu, rng):
     ref = det_ops.dechirp_detect(
         win, ferr=fe[:, None], want_f_index=False, fft_impl="xla"
     )
-    val, pwr, nse = pallas_demod.payload_detect(g, rs, fe, mtu, interpret=True)
+    if tiled:
+        val, pwr, nse = pallas_demod._payload_tiled(
+            g, rs, fe, mtu, interpret=True
+        )
+    else:
+        val, pwr, nse = pallas_demod.payload_detect(
+            g, rs, fe, mtu, interpret=True
+        )
     np.testing.assert_array_equal(np.asarray(ref.value), np.asarray(val))
     np.testing.assert_allclose(
         np.asarray(ref.power), np.asarray(pwr), atol=2e-3
@@ -67,29 +79,38 @@ def _impaired_bank(cfg, rng, B, payload_bytes=6, noise=0.2, cfo_bins=2.3):
 
 
 def test_fused_demod_bit_identical_sf7(rng):
+    """fused="interpret" is bit-identical to the XLA path; "interpret-bf16"
+    recovers identical packets (symbols, framing, timing) with dB outputs
+    within the documented bf16 bounds.  One shared bank + one XLA reference
+    compile for both checks (full-demod CPU compiles dominate the suite)."""
     cfg = lora_tpu.LoRaConfig(sf=7, cr="4/7", ampl=1.0, mtu=24)
     bank = _impaired_bank(cfg, rng, B=5)
     ref = demodulate(bank, cfg, fused="off")
-    fus = demodulate(bank, cfg, fused="interpret")
     assert bool(np.all(np.asarray(ref.found)))
-    for f in (
-        "found",
-        "t_sync",
-        "freq_error",
-        "count",
-        "consumed",
-        "symbols",
-        "payload_complete",
+    for mode, f_atol, snr_atol in (
+        ("interpret", 1e-5, 1e-4),
+        ("interpret-bf16", 0.05, 0.1),
     ):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(ref, f)), np.asarray(getattr(fus, f)), err_msg=f
+        fus = demodulate(bank, cfg, fused=mode)
+        for f in (
+            "found",
+            "t_sync",
+            "freq_error",
+            "count",
+            "consumed",
+            "symbols",
+            "payload_complete",
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f)), np.asarray(getattr(fus, f)),
+                err_msg=f"{mode}:{f}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(ref.fine_freq), np.asarray(fus.fine_freq), atol=f_atol
         )
-    np.testing.assert_allclose(
-        np.asarray(ref.fine_freq), np.asarray(fus.fine_freq), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(ref.snr), np.asarray(fus.snr), atol=1e-4
-    )
+        np.testing.assert_allclose(
+            np.asarray(ref.snr), np.asarray(fus.snr), atol=snr_atol
+        )
 
 
 @pytest.mark.parametrize("N,mtu", [(128, 20), (1024, 20)])
@@ -98,7 +119,7 @@ def test_payload_kernel_bf16_same_decisions(N, mtu, rng):
     by well under the 0.05 dB documented bound (ops/pallas_detect._mxu_dot)
     on signal-bearing windows (pure-noise windows have near-tie peaks whose
     argmax legitimately differs at bf16 precision)."""
-    B, rp = 4, pallas_demod.payload_geometry(N, mtu)[2]
+    B, rp = 4, pallas_demod.payload_rows(N, mtu)
     n = np.arange(N)
     # distinct chirp symbols per row + mild noise: realistic peak margins
     sym = rng.integers(0, N, (B, rp))
@@ -118,28 +139,6 @@ def test_payload_kernel_bf16_same_decisions(N, mtu, rng):
     np.testing.assert_array_equal(np.asarray(val32), np.asarray(val16))
     np.testing.assert_allclose(
         np.asarray(pwr32), np.asarray(pwr16), atol=0.05
-    )
-
-
-def test_fused_demod_bf16_same_packets(rng):
-    """End-to-end: fused="interpret-bf16" recovers the identical packets
-    (symbols, framing, timing) as the f32 XLA reference path."""
-    cfg = lora_tpu.LoRaConfig(sf=7, cr="4/7", ampl=1.0, mtu=24)
-    bank = _impaired_bank(cfg, rng, B=5)
-    ref = demodulate(bank, cfg, fused="off")
-    b16 = demodulate(bank, cfg, fused="interpret-bf16")
-    assert bool(np.all(np.asarray(ref.found)))
-    for f in ("found", "t_sync", "freq_error", "count", "consumed",
-              "symbols", "payload_complete"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(ref, f)), np.asarray(getattr(b16, f)),
-            err_msg=f,
-        )
-    np.testing.assert_allclose(
-        np.asarray(ref.fine_freq), np.asarray(b16.fine_freq), atol=0.05
-    )
-    np.testing.assert_allclose(
-        np.asarray(ref.snr), np.asarray(b16.snr), atol=0.1
     )
 
 
@@ -206,6 +205,7 @@ def test_kernel_grid_geometry_mosaic_legal():
     (caught live: _track_tc(4096) == 4 failed to lower on hardware)."""
     from lora_tpu.ops.pallas_demod import (
         _track_tc,
+        payload_flat_geometry,
         payload_geometry,
         TRACK_ROWS,
     )
@@ -214,11 +214,19 @@ def test_kernel_grid_geometry_mosaic_legal():
         N = 1 << sf
         tc = _track_tc(N)
         assert tc % 8 == 0 and tc >= 8, (N, tc)
-        # double-buffered input blocks + window scratches under the 40 MB
-        # kernel VMEM limit
-        vmem = 2 * 2 * tc * TRACK_ROWS * N * 4 + (2 * 17 + 2) * tc * N * 4
+        # double-buffered input blocks + rolled-row scratches under the
+        # 40 MB kernel VMEM limit
+        vmem = 2 * 2 * tc * TRACK_ROWS * N * 4 + 2 * TRACK_ROWS * tc * N * 4
         assert vmem < 40 * 1024 * 1024, (N, tc, vmem)
         for mtu in (7, 16, 33, 64, 129, 256):
+            flat = payload_flat_geometry(N, mtu)
+            if flat is not None:
+                Rp, pc = flat
+                M = pc * Rp
+                assert Rp % 8 == 0 and Rp > mtu, (N, mtu, Rp)
+                assert M % 8 == 0 and pc >= 1, (N, mtu, pc)
+                # double-buffered IQ blocks under the 14 MB kernel limit
+                assert 2 * 2 * M * N * 4 < 14 * 1024 * 1024, (N, mtu, M)
             TWM, tiles, Rp = payload_geometry(N, mtu)
             assert TWM % 8 == 0 and TWM >= 8, (N, mtu, TWM)
             assert TWM * tiles >= mtu + 1 or TWM * tiles > mtu, (N, mtu)

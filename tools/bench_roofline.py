@@ -97,8 +97,8 @@ def main() -> None:
     win_flops = 6 * (N * (n1 + n2) + 3 * N)  # dechirp+derotate+DFT per window
 
     # ---- fused payload kernel: roll+dechirp+derotate+DFT+peak -------------
-    TWM, tiles, Rp = pd.payload_geometry(N, cfg.mtu)
-    M8 = TWM * tiles
+    Rp = pd.payload_rows(N, cfg.mtu)
+    M8 = Rp  # flat kernel computes every gathered row's window
     g = IQ(r2((B, Rp, N)), r2((B, Rp, N)))
     rs0 = jnp.asarray(rng.integers(0, N, B), jnp.int32)
     fe0 = jnp.zeros(B, jnp.float32)
