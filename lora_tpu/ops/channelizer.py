@@ -125,9 +125,26 @@ def channelize(
     Q = M // G
 
     def zb(a):  # [..., rows, K] -> [..., Q, R*K]
-        return jnp.concatenate(
-            [a[..., r : r + G * Q : G, :] for r in range(R)], -1
-        )
+        # Z[q, r*K + p] = Xrev[qG + r, p].  Rows qG..qG+G-1 are exactly
+        # row q of the (Q, G*K) reshape, rows qG+G.. come from row q+1 of
+        # G-shifted reshapes — so Z is a lane-axis concat of ceil(R/G)
+        # CONTIGUOUS reshaped views instead of R stride-G row gathers
+        # (the strided form ran the whole channelizer at ~1 TFLOP/s; the
+        # gather, not the matmul, was the bound)
+        lead = a.shape[:-2]
+        pieces = []
+        r0 = 0
+        while r0 < R:
+            w = min(G, R - r0) * K
+            seg = a[..., r0 : r0 + Q * G, :]
+            short = Q * G - seg.shape[-2]
+            if short:  # missing tail rows land in lanes sliced off below
+                seg = jnp.pad(
+                    seg, [(0, 0)] * len(lead) + [(0, short), (0, 0)]
+                )
+            pieces.append(seg.reshape(*lead, Q, G * K)[..., :w])
+            r0 += G
+        return jnp.concatenate(pieces, -1)
 
     Z = IQ(zb(Xrev.re), zb(Xrev.im))
     wbr, wbi = _fir_idft_matrix(K, taps_per_phase, G)
