@@ -1,0 +1,182 @@
+"""On-chip kernel-geometry tuning sweeps for the fused demod kernels.
+
+Run on real TPU hardware (takes the axon grant).  Sweeps the static
+geometry knobs that interpret-mode tests cannot measure:
+
+  * track-kernel channels/cell (TC) at small and large N — the round-1
+    dynamic-roll serialization capped TC at 32; the barrel-shift kernel
+    removed that bound, so wider cells may now win (ops/pallas_demod.
+    _track_tc TODO).
+  * flat payload kernel block budget (_FLAT_MAX -> channels/cell PC).
+  * bf16 MXU casts vs f32 for both kernels.
+
+Prints one json line per measurement; pick winners and bake them into
+_track_tc / _FLAT_MAX.
+
+Usage: python tools/tune_kernels.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lora_tpu.ops import cplx, pallas_demod as pd
+from lora_tpu.ops.cplx import IQ
+
+
+def _timed(fn, args, reps=5):
+    """Median seconds/call with a host readback per call (the tunneled
+    runtime needs np.asarray to await completion; one call in flight)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def sweep_track(N: int, B: int, tcs, bf16=False):
+    rng = np.random.default_rng(0)
+    r2 = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    xs = IQ(r2((B, pd.TRACK_ROWS, N)), r2((B, pd.TRACK_ROWS, N)))
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    jax.block_until_ready(xs)
+    base = None
+    for tc in tcs:
+        if tc % 8 or B % tc:
+            continue
+        orig = pd._track_tc
+        pd._track_tc = lambda n, _tc=tc: _tc
+        try:
+            fresh = jax.jit(
+                pd._track_flat.__wrapped__,
+                static_argnames=("sync0", "sync1", "thresh", "interpret",
+                                 "bf16"),
+            )
+            s = _timed(
+                lambda a, b: fresh(a, b, 0x9, 0x3, -180.0, False, bf16),
+                (xs, rs),
+            )
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            print(json.dumps({"kernel": "track", "N": N, "B": B, "TC": tc,
+                              "bf16": bf16, "error": repr(e)[:200]}),
+                  flush=True)
+            continue
+        finally:
+            pd._track_tc = orig
+        if base is None:
+            base = s
+        print(json.dumps({
+            "kernel": "track", "N": N, "B": B, "TC": tc, "bf16": bf16,
+            "ms": round(s * 1e3, 3), "vs_first": round(base / s, 2),
+        }), flush=True)
+
+
+def sweep_payload(N: int, B: int, mtu: int, flat_maxes, bf16=False):
+    rng = np.random.default_rng(0)
+    rp = 8 * (mtu // 8 + 1)
+    r2 = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    g = IQ(r2((B, rp, N)), r2((B, rp, N)))
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    fe = jnp.zeros(B, jnp.float32)
+    jax.block_until_ready(g)
+    base = None
+    for fm in flat_maxes:
+        pc = max(1, min(1024 // rp, fm // (rp * N)))
+        if pc * rp * N * 16 > 100 * 1024 * 1024:
+            continue
+        orig = pd.payload_flat_geometry
+        pd.payload_flat_geometry = functools.lru_cache(maxsize=None)(
+            lambda n, m, _rp=rp, _pc=pc: (_rp, _pc)
+        )
+        try:
+            fresh = jax.jit(
+                pd._payload_flat_pc.__wrapped__,
+                static_argnames=("mtu", "interpret", "bf16"),
+            )
+            s = _timed(
+                lambda a, b, c: fresh(a, b, c, mtu, False, bf16),
+                (g, rs, fe),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"kernel": "payload", "N": N, "B": B,
+                              "PC": pc, "bf16": bf16,
+                              "error": repr(e)[:200]}), flush=True)
+            continue
+        finally:
+            pd.payload_flat_geometry = orig
+        if base is None:
+            base = s
+        gsps = B * mtu * N / s / 1e9
+        print(json.dumps({
+            "kernel": "payload", "N": N, "B": B, "mtu": mtu, "PC": pc,
+            "flat_max_kb": fm // 1024, "bf16": bf16,
+            "ms": round(s * 1e3, 3), "Gsamp/s": round(gsps, 2),
+            "vs_first": round(base / s, 2),
+        }), flush=True)
+
+
+def crash_retest(N: int, B: int):
+    """The round-2 kernels crashed the TPU worker at N >= 2048 & B > ~96
+    (see models/demodulator.demodulate dispatch note).  The kernels have
+    since been restructured (barrel roll, no scalar prefetch, flat payload
+    blocks) — retest before trusting the fallback removal."""
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.models.demodulator import demodulate, required_samples
+
+    sf = int(np.log2(N))
+    cfg = LoRaConfig(sf=sf, cr="4/8", ampl=1.0, mtu=24)
+    T = required_samples(cfg)
+    rng = np.random.default_rng(0)
+    payload = jnp.asarray(rng.integers(0, 256, (B, 6), dtype=np.uint8))
+    iq = api.modulate(api.encode(payload, cfg), cfg)
+    iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
+    for trial in range(3):
+        d = demodulate(iq, cfg, fused="bf16" if trial == 2 else "auto")
+        found = np.asarray(d.found)
+        print(json.dumps({
+            "crash_retest": {"N": N, "B": B, "trial": trial,
+                             "found": int(found.sum()), "of": B},
+        }), flush=True)
+        assert found.all(), "demod must find every clean frame"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--crash-retest", action="store_true",
+                    help="only run the N>=2048 stability retest")
+    args = ap.parse_args()
+
+    if args.crash_retest:
+        for N, B in ((2048, 128), (2048, 512), (4096, 128), (4096, 256)):
+            crash_retest(N, B)
+        return
+
+    B = 1024 if args.quick else 4096
+    for bf16 in (False, True):
+        sweep_track(128, B, (8, 16, 32, 64, 128), bf16)
+        sweep_track(1024, B, (8, 16, 24, 32), bf16)
+    for bf16 in (False, True):
+        sweep_payload(128, B, 20, (1 << 16, 1 << 17, 1 << 18, 1 << 19), bf16)
+        sweep_payload(1024, B, 44, (1 << 17, 1 << 18, 1 << 19, 1 << 20), bf16)
+
+
+if __name__ == "__main__":
+    main()
