@@ -85,6 +85,7 @@ def channelize(
     K: int,
     taps_per_phase: int = 8,
     state: IQ | None = None,
+    group: int | None = None,
 ) -> tuple[IQ, IQ]:
     """Split wideband IQ [..., T] (T % K == 0) into K channels.
 
@@ -118,9 +119,12 @@ def channelize(
     # (r < L+G-1), times the block-Toeplitz WB of _fir_idft_matrix, gives
     # y[Gq+j, k] directly — one matmul with an (L+G-1)K contraction and a
     # G*K-wide result does the entire filterbank.
-    # G=8 measured best on v5e (G=32 loses more to the wider-Z gather
-    # than it gains in MXU width)
-    G = next(g for g in (8, 4, 2, 1) if M % g == 0)
+    # G=8 measured best on v5e with the old strided-gather Z build; the
+    # contiguous-reshape build below may favor wider groups — `group`
+    # overrides for tuning sweeps (tools/tune_kernels.py)
+    G = group or next(g for g in (8, 4, 2, 1) if M % g == 0)
+    if M % G:
+        raise ValueError(f"group={G} must divide M={M}")
     R = L + G - 1
     Q = M // G
 

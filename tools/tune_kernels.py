@@ -131,6 +131,38 @@ def sweep_payload(N: int, B: int, mtu: int, flat_maxes, bf16=False):
         }), flush=True)
 
 
+def sweep_channelizer(K: int, T: int, S: int, groups):
+    """Group width G for the block-Toeplitz filterbank contraction
+    (ops/channelizer.channelize): S wideband streams of T samples."""
+    from lora_tpu.ops import channelizer as chz
+
+    rng = np.random.default_rng(0)
+    r2 = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    wb = IQ(r2((S, T)), r2((S, T)))
+    jax.block_until_ready(wb)
+    base = None
+    for g in groups:
+        if (T // K) % g:
+            continue
+        fn = jax.jit(
+            lambda x, _g=g: chz.channelize(x, K, group=_g)[0],
+        )
+        try:
+            s = _timed(lambda x: fn(x), (wb,))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"kernel": "channelizer", "K": K, "G": g,
+                              "error": repr(e)[:200]}), flush=True)
+            continue
+        if base is None:
+            base = s
+        print(json.dumps({
+            "kernel": "channelizer", "K": K, "T": T, "S": S, "G": g,
+            "ms": round(s * 1e3, 3),
+            "Mwide-samp/s": round(S * T / s / 1e6, 1),
+            "vs_first": round(base / s, 2),
+        }), flush=True)
+
+
 def crash_retest(N: int, B: int):
     """The round-2 kernels crashed the TPU worker at N >= 2048 & B > ~96
     (see models/demodulator.demodulate dispatch note).  The kernels have
@@ -176,6 +208,8 @@ def main():
     for bf16 in (False, True):
         sweep_payload(128, B, 20, (1 << 16, 1 << 17, 1 << 18, 1 << 19), bf16)
         sweep_payload(1024, B, 44, (1 << 17, 1 << 18, 1 << 19, 1 << 20), bf16)
+    sweep_channelizer(64, 1 << 20, 16 if args.quick else 64,
+                      (1, 2, 4, 8, 16, 32, 64))
 
 
 if __name__ == "__main__":
