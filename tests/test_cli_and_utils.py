@@ -46,9 +46,12 @@ def _run_cli(*args):
     )
 
 
-def test_cli_loopback_reference_operating_point():
+def test_cli_loopback_noisy():
+    # CLI wiring under noise at SF7 (cheap fresh-process compile); the
+    # reference's SF10/noise-4.0 operating point itself is covered
+    # in-process by test_noisy_loopback_reference_operating_point
     r = _run_cli(
-        "loopback", "--sf", "10", "--noise", "4.0", "--packets", "3",
+        "loopback", "--sf", "7", "--noise", "1.5", "--packets", "3",
         "--length", "16",
     )
     assert r.returncode == 0, r.stderr[-800:]

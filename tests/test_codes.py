@@ -71,16 +71,42 @@ def test_parity_codes_detect_single_bit():
             assert e
 
 
-@pytest.mark.parametrize("ppm", range(7, 13))
-@pytest.mark.parametrize("rdd", range(5))
-def test_interleaver_roundtrip(ppm, rdd, rng):
-    mask = (1 << (4 + rdd)) - 1
-    for nblocks in (1, 2, 3):
-        cw = rng.integers(0, 256, size=(4, nblocks * ppm)).astype(np.int32) & mask
-        symbols = codes.interleave(jnp.asarray(cw), ppm, rdd)
-        back = codes.deinterleave(symbols, ppm, rdd)
-        np.testing.assert_array_equal(np.asarray(back), cw)
+def test_interleaver_roundtrip(rng):
+    # all PPM 7-12 x RDD 0-4 x 1-3 blocks.  One jit program holding every
+    # combo's (tiny) gather pair compiles once; per-combo programs cost
+    # ~90 separate compiles (~2 min of suite wall time on this 1-core box)
+    import jax
 
+    combos = [
+        (ppm, rdd, nblocks)
+        for ppm in range(7, 13)
+        for rdd in range(5)
+        for nblocks in (1, 2, 3)
+    ]
+    cws = [
+        jnp.asarray(
+            rng.integers(0, 256, size=(4, nblocks * ppm)).astype(np.int32)
+            & ((1 << (4 + rdd)) - 1)
+        )
+        for ppm, rdd, nblocks in combos
+    ]
+
+    @jax.jit
+    def roundtrip(cw_list):
+        syms = [
+            codes.interleave(cw, ppm, rdd)
+            for cw, (ppm, rdd, _) in zip(cw_list, combos)
+        ]
+        backs = [
+            codes.deinterleave(sym, ppm, rdd)
+            for sym, (ppm, rdd, _) in zip(syms, combos)
+        ]
+        return syms, backs
+
+    syms, backs = roundtrip(cws)
+    for (ppm, rdd, _), cw, symbols, back in zip(combos, cws, syms, backs):
+        cw = np.asarray(cw)
+        np.testing.assert_array_equal(np.asarray(back), cw)
         # cross-check against the scalar reference implementation
         sym_ref = ref.diagonal_interleave(list(cw[0]), ppm, rdd)
         np.testing.assert_array_equal(np.asarray(symbols[0]), sym_ref)

@@ -31,13 +31,16 @@ def test_clean_loopback_all_sf(sf, rng):
 
 def test_noisy_loopback_reference_operating_point(rng):
     # TestLoopback.cpp:93-101: SF10, signal 1.0 vs NORMAL noise 4.0.
-    # Each (cr, length) is a distinct mtu -> a fresh SF10 demod compile
-    # (the suite's most expensive program), so sample the grid instead of
-    # crossing it: both CRs, all three reference lengths, 3 compiles.
+    # The demod program is keyed on (cfg, T) and is the suite's most
+    # expensive compile, so share one mtu (sized for the longest
+    # reference length) across all three lengths: 2 compiles (one per
+    # CR), still both CRs x all three reference payload lengths.
+    cfg64 = LoRaConfig(sf=10, cr="4/8", ampl=1.0)
+    mtu64 = mtu_for(cfg64, 64)
     for i, (cr, L) in enumerate([("4/8", 8), ("4/7", 33), ("4/8", 64)]):
         cfg = LoRaConfig(sf=10, cr=cr, ampl=1.0)
         payload = rng.integers(0, 256, size=(2, L)).astype(np.uint8)
-        c = cfg.replace(mtu=mtu_for(cfg, L))
+        c = cfg.replace(mtu=mtu64)
         dec, dem = api.loopback(payload, c, noise_amplitude=4.0, seed=i)
         assert np.all(np.asarray(dem.found)), f"{cr} len {L}"
         got = api.extract_payloads(dec)
@@ -120,10 +123,12 @@ def test_demod_squelch_on_pure_noise(rng):
     assert int(dem.count[0]) == 0
 
 
-@pytest.mark.parametrize("pre", [6, 24, 80])
+@pytest.mark.parametrize("pre", [6, 80])
 def test_loopback_configurable_preamble_length(pre, rng):
     """The reference modulator hardcodes 10 preamble symbols; real radios
-    use 6..65535.  The run-end alignment search must lock regardless."""
+    use 6..65535.  The run-end alignment search must lock regardless.
+    The extremes (minimum legal, far past the scan budget) carry the
+    coverage; each preamble length is a fresh demod compile."""
     payload = rng.integers(0, 256, size=(1, 12)).astype(np.uint8)
     cfg = LoRaConfig(sf=8, cr="4/7", ampl=1.0, preamble_symbols=pre)
     cfg = cfg.replace(mtu=mtu_for(cfg, 12))
