@@ -1,0 +1,181 @@
+"""Stage-level time attribution for the demod step (where do the ~67 ms
+of a B=2048 SF10 step go?).
+
+The roofline table (tools/bench_roofline.py) times the fused kernels in
+isolation: payload 10.7 ms + track 9.1 ms + coarse detect 19.3 ms leaves
+~27 ms of the full step unattributed (gathers, alignment epilogue,
+payload epilogue, fusion losses).  This harness times each jitted
+sub-stage with the same chained-dispatch method (K dependent dispatches,
+one readback — amortizes the ~24 ms tunnel RPC) so the gap has an owner.
+
+Stages (models/demodulator.py):
+  coarse    vmap(_align_frame): stride-N dechirp-detect over all windows
+            + agreement epilogue -> (t_cand, t0, found_pre)
+  trackg    gather_rows of the TRACK_ROWS scan block
+  track     fused sync-scan + CFO kernel (incl. its gather)
+  head      _head_stage = coarse + trackg + track
+  paylg     gather_rows of the payload rows
+  payload   _payload_stage = paylg + fused detect + epilogue
+  full      _demod_whole (head + payload in one program)
+
+Run on the real chip: python tools/bench_stages.py [--B 2048] [--sf 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed_chain(step, reps: int) -> float:
+    out, carry = step(None)
+    np.asarray(out)
+    out, carry = step(None)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    carry = None
+    for _ in range(reps):
+        out, carry = step(carry)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=2048)
+    ap.add_argument("--sf", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.models import demodulator as dm
+    from lora_tpu.ops import cplx, pallas_demod, shift as shift_ops
+    from lora_tpu.ops.cplx import IQ
+
+    B = args.B if not args.cpu else 4
+    cfg = LoRaConfig(sf=args.sf, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(32) + 4)
+    T = dm.required_samples(cfg)
+    N = cfg.N
+
+    rng = np.random.default_rng(0)
+    payload = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    iq = api.modulate(api.encode(payload, cfg), cfg)
+    iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
+    iq = IQ(
+        iq.re + jnp.asarray(0.1 * rng.standard_normal((B, T)), jnp.float32),
+        iq.im + jnp.asarray(0.1 * rng.standard_normal((B, T)), jnp.float32),
+    )
+    jax.block_until_ready(iq)
+    fused = "off" if args.cpu else "auto"
+
+    # reference head outputs (concrete, reused as payload-stage inputs)
+    xb_p, head, fine_total, t0v = dm._head_stage(iq, cfg, 1, fused)
+    jax.block_until_ready(t0v)
+
+    def dep(x, carry):
+        """Chain dependency: perturb input by 0 * (scalar of prev out)."""
+        if carry is None:
+            return x
+        z = carry * 0.0
+        return IQ(x.re + z, x.im)
+
+    rows = []
+
+    def add(name, s):
+        rows.append({"stage": name, "ms": round(s * 1e3, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    coarse_fn = jax.jit(
+        lambda x: jax.vmap(lambda row: dm._align_frame(row, cfg, False))(x)
+    )
+
+    def step_coarse(carry):
+        out = coarse_fn(dep(iq, carry))
+        return out[1], jnp.max(out[1]).astype(jnp.float32)
+
+    add("coarse(align)", _timed_chain(step_coarse, args.reps))
+
+    tg_fn = jax.jit(
+        lambda x, t: shift_ops.gather_rows(
+            x, t // N, pallas_demod.TRACK_ROWS, N
+        )
+    )
+
+    def step_trackg(carry):
+        g = tg_fn(dep(iq, carry), t0v)
+        return g.re, jnp.sum(g.re[:, 0, 0])
+
+    add("track-gather", _timed_chain(step_trackg, args.reps))
+
+    head_fn = jax.jit(
+        lambda x: dm._head_stage(x, cfg, 1, fused)[3]
+    )
+
+    def step_head(carry):
+        t = head_fn(dep(iq, carry))
+        return t, jnp.max(t).astype(jnp.float32)
+
+    add("head(total)", _timed_chain(step_head, args.reps))
+
+    pg_fn = jax.jit(
+        lambda x, d: shift_ops.gather_rows(
+            x, d // N, dm._payload_gather_rows(cfg), N
+        )
+    )
+    dstart = head.consumed
+
+    def step_paylg(carry):
+        g = pg_fn(dep(xb_p, carry), dstart)
+        return g.re, jnp.sum(g.re[:, 0, 0])
+
+    add("payload-gather", _timed_chain(step_paylg, args.reps))
+
+    pay_fn = jax.jit(
+        lambda x: dm._payload_stage(
+            x, head, fine_total, t0v, cfg, False, 1, fused
+        ).symbols
+    )
+
+    def step_pay(carry):
+        s = pay_fn(dep(xb_p, carry))
+        return s, jnp.max(s).astype(jnp.float32)
+
+    add("payload(total)", _timed_chain(step_pay, args.reps))
+
+    full_fn = jax.jit(
+        lambda x: dm._demod_whole(x, cfg, False, 1, fused).symbols
+    )
+
+    def step_full(carry):
+        s = full_fn(dep(iq, carry))
+        return s, jnp.max(s).astype(jnp.float32)
+
+    s_full = _timed_chain(step_full, args.reps)
+    add("full-step", s_full)
+
+    gsps = B * T / s_full / 1e9
+    print(json.dumps({
+        "B": B, "sf": args.sf, "T": T,
+        "full_Gsamp/s": round(gsps, 2),
+        "attribution": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()
