@@ -180,9 +180,9 @@ def four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex=True,
     dot = _mxu_dot(bf16)
     k1 = jax.lax.broadcasted_iota(jnp.int32, (TW, n1), 1)
 
-    mags = []
-    peak2 = jnp.full((TW, 1), -1.0, jnp.float32)
-    total = jnp.zeros((TW, 1), jnp.float32)
+    # stage 1 (VPU): per output group k2, G = sum_j2 w2[j2,k2] * A_j2,
+    # then the twiddle multiply
+    hrs, his = [], []
     for k2 in range(n2):
         gr = jnp.zeros((TW, n1), jnp.float32)
         gi = jnp.zeros((TW, n1), jnp.float32)
@@ -196,11 +196,25 @@ def four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex=True,
         # twiddle row tw[:, k2] (passed as [n2, n1] table rows)
         tr = twr[k2, :][None, :]
         ti = twi[k2, :][None, :]
-        hr = gr * tr - gi * ti
-        hi = gr * ti + gi * tr
-        sr = dot(hr, f1r) - dot(hi, f1i)
-        si = dot(hr, f1i) + dot(hi, f1r)
-        m2 = sr * sr + si * si
+        hrs.append(gr * tr - gi * ti)
+        his.append(gr * ti + gi * tr)
+
+    # stage 2 (MXU): ONE tall [n2*TW, n1] x [n1, n1] matmul per operand
+    # pair instead of n2 separate [TW, n1] dots — n2 small dots re-load
+    # the DFT weights into the systolic array every group and leave it
+    # ~half idle on the f32 passes; the row-concat is tile-aligned (TW is
+    # a multiple of 8) and numerics are identical per row
+    hr = jnp.concatenate(hrs, axis=0)
+    hi = jnp.concatenate(his, axis=0)
+    sr = dot(hr, f1r) - dot(hi, f1i)
+    si = dot(hr, f1i) + dot(hi, f1r)
+    m2_all = sr * sr + si * si
+
+    mags = []
+    peak2 = jnp.full((TW, 1), -1.0, jnp.float32)
+    total = jnp.zeros((TW, 1), jnp.float32)
+    for k2 in range(n2):
+        m2 = m2_all[k2 * TW : (k2 + 1) * TW]
         mags.append(m2)
         peak2 = jnp.maximum(peak2, jnp.max(m2, axis=1, keepdims=True))
         total = total + jnp.sum(m2, axis=1, keepdims=True)
