@@ -58,6 +58,27 @@ def test_streaming_state_continuity():
     np.testing.assert_allclose(cplx.to_complex(y_full), y_cat, atol=1e-5)
 
 
+def test_group_width_invariance():
+    # the output-group width G is a pure performance knob of the
+    # block-Toeplitz contraction (tools/tune_kernels.py sweeps it on
+    # hardware): every legal G must produce the same channels
+    K, M = 16, 64
+    rng = np.random.default_rng(5)
+    x = cplx.IQ(
+        jnp.asarray(rng.standard_normal((2, K * M)), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, K * M)), jnp.float32),
+    )
+    ref, _ = chz.channelize(x, K)
+    for g in (1, 2, 16, 32, 64):
+        y, _ = chz.channelize(x, K, group=g)
+        np.testing.assert_allclose(
+            cplx.to_complex(y), cplx.to_complex(ref), atol=2e-5,
+            err_msg=f"group={g}",
+        )
+    with pytest.raises(ValueError):
+        chz.channelize(x, K, group=7)
+
+
 @pytest.mark.parametrize("chan", [3, 13])
 def test_lora_frame_through_channelizer(chan, rng):
     K = 16
