@@ -68,19 +68,30 @@ def _split(n: int) -> tuple[int, int]:
 
 
 def fft_matmul(x: IQ, precision=jax.lax.Precision.HIGHEST) -> IQ:
-    """Batched complex FFT over the last axis via MXU matmuls (planar)."""
+    """Batched complex FFT over the last axis via MXU matmuls (planar).
+
+    Decimation x[j2*n1 + j1] = A[j2, j1] keeps j1 (the n1 = 128 factor)
+    on the minor axis throughout, so the dominant-FLOP stage — the n1-deep
+    DFT contraction — produces a 128-lane-wide result.  The transposed
+    layout (contracting n1 first with the small n2 factor minor) ran the
+    MXU at ~1/4 rate: its n1-deep stage emitted an n2 (<= 32)-wide minor
+    axis.  Same two-stage math as the fused kernel
+    (ops/pallas_detect.four_step_vals):
+
+        G[k2, j1] = sum_j2 A[j2, j1] * Wn2[j2, k2]     (n2-deep, wide out)
+        X[k1*n2 + k2] = sum_j1 G[k2, j1]*tw[k2, j1] * Wn1[j1, k1]
+    """
     n = x.shape[-1]
     if n & (n - 1):
         raise ValueError("power-of-two sizes only")
     if n <= 256:
         return cplx.matmul(x, _dft_matrix(n), precision=precision)
     n1, n2 = _split(n)
-    a = x.reshape(*x.shape[:-1], n1, n2)
-    # DFT over the n1 axis: B[k1, n2] = sum_n1 A[n1, n2] W^{n1 k1}
-    b = cplx.einsum("...ij,ik->...kj", a, _dft_matrix(n1), precision=precision)
-    b = cplx.mul(b, cplx.broadcast_to(_twiddle(n1, n2), b.shape))
-    d = cplx.einsum("...kj,jl->...kl", b, _dft_matrix(n2), precision=precision)
-    # X[k1 + n1*k2] = D[k1, k2]
+    a = x.reshape(*x.shape[:-1], n2, n1)  # A[j2, j1]
+    g = cplx.einsum("...ji,jk->...ki", a, _dft_matrix(n2), precision=precision)
+    g = cplx.mul(g, cplx.broadcast_to(_twiddle(n2, n1), g.shape))
+    d = cplx.einsum("...ki,il->...kl", g, _dft_matrix(n1), precision=precision)
+    # X[k1*n2 + k2] = D[k2, k1]
     d = IQ(jnp.swapaxes(d.re, -1, -2), jnp.swapaxes(d.im, -1, -2))
     return d.reshape(*x.shape[:-1], n)
 
