@@ -64,7 +64,13 @@ def build_and_reference(path: str) -> None:
     y, _ = chz.channelize(cplx.IQ(jnp.asarray(wide[0]), jnp.asarray(wide[1])), K)
     out["wide_re"], out["wide_im"] = wide[0], wide[1]
     out["chan_re"], out["chan_im"] = np.asarray(y.re), np.asarray(y.im)
-    np.savez(path, **out)
+
+    # matmul-FFT windows (the XLA four-step path: the track-scan fallback
+    # at N >= 2048 and debug taps); reference = host numpy FFT
+    fx = rng.standard_normal((2, 4, 4096)).astype(np.float32)
+    out["fft_in_re"], out["fft_in_im"] = fx[0], fx[1]  # parent checks
+    np.savez(path, **out)                              # vs host np.fft
+
 
 
 def main() -> int:
@@ -130,6 +136,25 @@ def main() -> int:
         )
     )
     report("channelizer_parity", err < 1e-3, max_err=err)
+
+    from lora_tpu.ops import fft as fft_ops
+
+    for n in (2048, 4096):
+        xi = cplx.IQ(
+            jnp.asarray(ref["fft_in_re"][:, :n]),
+            jnp.asarray(ref["fft_in_im"][:, :n]),
+        )
+        sp = fft_ops.fft(xi, impl="matmul")
+        want = np.fft.fft(ref["fft_in_re"][:, :n] + 1j * ref["fft_in_im"][:, :n])
+        errf = float(
+            max(
+                np.abs(np.asarray(sp.re) - want.real).max(),
+                np.abs(np.asarray(sp.im) - want.imag).max(),
+            )
+        )
+        # f32 four-step over n-point windows: O(sqrt(n)*eps) growth
+        report(f"fft_matmul_parity_n{n}", errf < 2e-2 * np.sqrt(n),
+               max_err=errf)
 
     print(json.dumps({"check": "ALL", "ok": bool(ok_all)}))
     return 0 if ok_all else 1
