@@ -22,9 +22,11 @@ def _windows(rng, N, B, noise=0.05):
     )
 
 
-@pytest.mark.parametrize("N", [128, 256, 1024])
+@pytest.mark.parametrize("N", [128, 256, 1024, 4096])
 def test_pallas_parity_vs_reference_path(N, rng):
-    syms, x = _windows(rng, N, 37)
+    # 4096 covers the widest four-step unroll (n2 = 32; the SF12 coarse
+    # path) with a small batch to keep interpret mode affordable
+    syms, x = _windows(rng, N, 37 if N < 4096 else 9)
     ref = detect.dechirp_detect(x, fft_impl="xla")
     pal = pallas_detect.dechirp_detect_pallas(x, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref.value), np.asarray(pal.value))
