@@ -197,6 +197,12 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lora_tpu", description=__doc__)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (environments that pre-pin jax to an "
+        "accelerator platform ignore JAX_PLATFORMS set after startup; this "
+        "flag switches before first backend use)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p, multi_sfcr=False):
@@ -251,6 +257,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

@@ -103,23 +103,35 @@ def _trunc_half(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * (jnp.abs(x) // 2)
 
 
-def _coarse(x: IQ, cfg: LoRaConfig, bf16: bool = False):
-    """Stage 1: dechirp-detect every stride-N window; pairwise agreement
-    map for the preamble search."""
-    T = x.shape[-1]
+def _coarse_detect(xb: IQ, cfg: LoRaConfig, bf16: bool = False):
+    """Stage 1 detect: dechirp-detect every stride-N window of every
+    channel in ONE batched call, OUTSIDE the per-channel alignment vmap.
+
+    Hoisted deliberately: under vmap, pallas_call's batching rule pads
+    each lane's W windows up to the kernel tile (W=64 -> TW=128 at SF10,
+    2x wasted detects) and trades the flat [B*W] grid for a per-channel
+    one — measured ~3x slower than the same detect called flat
+    (docs/SCALING.md round-2 coarse row).  Returns (v, snr0, pwr), each
+    [B, W]."""
+    B, T = xb.shape
     N = cfg.N
     W = T // N
-    win = x[: W * N].reshape(W, N)
+    win = xb[:, : W * N].reshape(B, W, N)
     d0 = det_ops.dechirp_detect(win, want_f_index=False, bf16=bf16)
-    snr0 = d0.power - d0.noise
-    v = d0.value
+    return d0.value, d0.power - d0.noise, d0.power
+
+
+def _coarse(v, snr0, pwr, cfg: LoRaConfig):
+    """Stage 1 epilogue (per channel, under vmap): pairwise agreement map
+    for the preamble search over per-window detections v/snr0/pwr [W]."""
+    N = cfg.N
     dv = jnp.abs(v[:-1] - v[1:])
     dist = jnp.minimum(dv, N - dv)
     pair_snr = jnp.minimum(snr0[:-1], snr0[1:])
     # absolute floor rejects degenerate all-zero windows (no signal, no
     # noise), whose 0/0 spectra read bin 0 at "0 dB SNR" and would
     # otherwise form fake preamble runs in idle stretches
-    pair_pow = jnp.minimum(d0.power[:-1], d0.power[1:])
+    pair_pow = jnp.minimum(pwr[:-1], pwr[1:])
     agree = (
         (dist <= 2) & (pair_snr > jnp.float32(cfg.thresh)) & (pair_pow > -200.0)
     )
@@ -231,12 +243,13 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
     return head, fine_total
 
 
-def _align_frame(x: IQ, cfg: LoRaConfig, bf16: bool = False):
+def _align_frame(v, snr0, pwr, cfg: LoRaConfig, T: int):
     """Single strongest-frame alignment (max_frames=1): earliest agreeing
     pair within 6 dB of the strongest (robust against noise windows passing
-    the reference's permissive default threshold)."""
-    T = x.shape[-1]
-    agree, pair_snr, v = _coarse(x, cfg, bf16)
+    the reference's permissive default threshold).  Consumes per-window
+    detections from _coarse_detect (the detect itself runs outside the
+    vmap; this epilogue is cheap elementwise work over [W])."""
+    agree, pair_snr, v = _coarse(v, snr0, pwr, cfg)
     score = jnp.where(agree, pair_snr, -jnp.inf)
     good = agree & (score >= jnp.max(score) - 6.0)
     first_w = jnp.argmax(good)
@@ -245,14 +258,12 @@ def _align_frame(x: IQ, cfg: LoRaConfig, bf16: bool = False):
     return t_cand, t0, found_pre
 
 
-def _align_multi(x: IQ, cfg: LoRaConfig, max_frames: int,
-                 bf16: bool = False):
+def _align_multi(v, snr0, pwr, cfg: LoRaConfig, max_frames: int, T: int):
     """Multi-frame alignment: the first `max_frames` runs of agreeing pairs,
     in time order (false runs fail the sync scan and report found=False).
     The 6 dB near-far filter is skipped — coexisting frames may differ in
     power."""
-    T = x.shape[-1]
-    agree, _, v = _coarse(x, cfg, bf16)
+    agree, _, v = _coarse(v, snr0, pwr, cfg)
     idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
     run_start = agree & ~jnp.concatenate([jnp.array([False]), agree[:-1]])
     # a real preamble (>= 6 chirps) yields >= 4 consecutive agreeing pairs;
@@ -363,14 +374,15 @@ def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
     use_fused, interpret, bf16 = _fused_mode(fused, cfg.N)
     # the coarse detector only takes the bf16 cast on the real-TPU Pallas
     # route (detect.dechirp_detect ignores it on the XLA fallback)
+    cv, csnr, cpwr = _coarse_detect(xb, cfg, bf16)
     if max_frames == 1:
         t_cand, t0, found_pre = jax.vmap(
-            lambda row: _align_frame(row, cfg, bf16)
-        )(xb)
+            lambda v, s, p: _align_frame(v, s, p, cfg, T)
+        )(cv, csnr, cpwr)
     else:
         t_cand, t0, found_pre = jax.vmap(
-            lambda row: _align_multi(row, cfg, max_frames, bf16)
-        )(xb)
+            lambda v, s, p: _align_multi(v, s, p, cfg, max_frames, T)
+        )(cv, csnr, cpwr)
     if use_fused:
         head, fine_total = _fused_track(
             xb, cfg, t0, t_cand, found_pre, T, interpret, bf16
@@ -411,16 +423,35 @@ def _payload_stage(
     # shift on-chip (sample-granular gathers run ~60x slower on TPU)
     data_start = head.consumed
     dec = raw = None
+    T = xb.shape[-1]
+    W = T // cfg.N
+    B = xb.shape[0]
     if use_fused and not debug:
-        # fully fused payload: gather rows once; roll + dechirp + DFT +
-        # peak happen in VMEM (ops/pallas_demod.payload_detect)
-        g = shift_ops.gather_rows(
-            xb, data_start // cfg.N, _payload_gather_rows(cfg), cfg.N
+        direct = (
+            max_frames == 1
+            and pallas_demod.payload_direct_pc(cfg.N, cfg.mtu, W, B)
+            is not None
         )
-        val, pwr, nse = pallas_demod.payload_detect(
-            g, data_start % cfg.N, fine_total, cfg.mtu, interpret=interpret,
-            bf16=bf16,
-        )
+        if direct:
+            # gather-free payload: the kernel reads the [B, W, N] row view
+            # (CSE'd with the coarse detector's operand) and selects each
+            # channel's rows in VMEM — the gathered intermediate never
+            # exists in HBM (ops/pallas_demod.payload_detect_direct)
+            x3 = xb[:, : W * cfg.N].reshape(B, W, cfg.N)
+            val, pwr, nse = pallas_demod.payload_detect_direct(
+                x3, data_start // cfg.N, data_start % cfg.N, fine_total,
+                cfg.mtu, interpret=interpret, bf16=bf16,
+            )
+        else:
+            # fused payload with an XLA row gather (multi-frame candidates
+            # or geometries past the direct kernel's VMEM budget)
+            g = shift_ops.gather_rows(
+                xb, data_start // cfg.N, _payload_gather_rows(cfg), cfg.N
+            )
+            val, pwr, nse = pallas_demod.payload_detect(
+                g, data_start % cfg.N, fine_total, cfg.mtu,
+                interpret=interpret, bf16=bf16,
+            )
         dd = det_ops.DetectResult(
             value=val, power=pwr, noise=nse, f_index=jnp.zeros_like(pwr)
         )

@@ -105,6 +105,33 @@ def payload_flat_geometry(N: int, mtu: int) -> tuple[int, int] | None:
     return rp, pc
 
 
+@functools.lru_cache(maxsize=None)
+def payload_direct_pc(N: int, mtu: int, W: int, B: int) -> int | None:
+    """Channels per cell for the DIRECT (gather-free) payload kernel, or
+    None when the geometry doesn't fit.
+
+    The direct kernel reads the [B, W, N] row view of the channel buffer
+    itself (the same array the coarse detector consumes, so XLA CSEs the
+    slice) and selects each channel's Rp aligned rows in VMEM with a
+    scalar-prefetched dynamic sublane slice — the [B, Rp, N] gathered
+    intermediate of the flat kernel never exists in HBM (saves one full
+    write + read of it, ~2.4 GB at SF10/B=2048).
+
+    Constraints: whole-channel rows must fit the flat block budget
+    (payload_flat_geometry), each channel needs Rp rows inside W, the
+    double-buffered (PC, W, N) input blocks must fit VMEM, and PC must
+    divide B exactly (padding the [B, W, N] operand would copy it)."""
+    rp = 8 * (mtu // 8 + 1)
+    if rp * N > _FLAT_MAX or W < rp + 1:
+        return None
+    # per-channel VMEM: input (W, N) f32 x2 (re/im) x2 (double-buffered)
+    pc_cap = min(1024 // rp, _FLAT_MAX // (rp * N), (8 << 20) // (W * N * 16))
+    if pc_cap < 1:
+        return None
+    pc = max(d for d in range(1, pc_cap + 1) if B % d == 0)
+    return pc
+
+
 def payload_rows(N: int, mtu: int) -> int:
     """Aligned rows each channel must gather for payload_detect."""
     flat = payload_flat_geometry(N, mtu)
@@ -294,6 +321,140 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
       *det_arrays)
     cut = lambda a: a.reshape(Bp, Rp)[:B, :mtu]
     return cut(value), cut(power), cut(noise)
+
+
+# --------------------------------------------------------------------------
+# direct payload kernel: row selection happens in VMEM — no gathered
+# intermediate in HBM (see payload_direct_pc)
+# --------------------------------------------------------------------------
+
+def _payload_direct_kernel_factory(N, W, Rp, PC, make_det):
+    M = PC * Rp
+
+    def kernel(qv, shv, fev, xr, xi, cr, ci, *rest):
+        det_refs = rest[: len(rest) - 3]
+        value, power, noise = rest[len(rest) - 3:]
+        det = make_det(det_refs)
+        i = pl.program_id(0)
+        # per-channel aligned-row selection: a dynamic sublane slice of
+        # the (W, N) channel rows at the scalar-prefetched row offset —
+        # this load IS the gather (never materialized in HBM)
+        rs_, ri_ = [], []
+        for c in range(PC):
+            d = qv[i * PC + c]
+            rs_.append(xr[c, pl.ds(d, Rp), :])
+            ri_.append(xi[c, pl.ds(d, Rp), :])
+        vr = jnp.concatenate(rs_, 0) if PC > 1 else rs_[0]
+        vi = jnp.concatenate(ri_, 0) if PC > 1 else ri_[0]
+        # from here identical to the flat kernel: per-row lane barrel
+        # roll, row-(w, w+1) pairing, dechirp+derotate, detect
+        sh = shv[:]                                    # (M, 1) int32
+        for b in range(N.bit_length() - 1):            # sh < N
+            amt = 1 << b
+            mbit = (sh & amt) != 0
+            vr = jnp.where(mbit, pltpu.roll(vr, amt, 1), vr)
+            vi = jnp.where(mbit, pltpu.roll(vi, amt, 1), vi)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        maskN = lane < jnp.where(sh == 0, N, sh)       # (M, N)
+        win_r = jnp.where(maskN, vr, pltpu.roll(vr, M - 1, 0))
+        win_i = jnp.where(maskN, vi, pltpu.roll(vi, M - 1, 0))
+        zr, zi = dechirp_derotate_vals(win_r, win_i, cr[:], ci[:], fev[:])
+        val, pwr, nse, _ = det(zr, zi, False)
+        value[:] = val
+        power[:] = pwr
+        noise[:] = nse
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mtu", "interpret", "bf16")
+)
+def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
+                    mtu: int, interpret: bool, bf16: bool = False):
+    """Direct payload kernel.  x3: IQ [B, W, N] whole-buffer row view;
+    q: int32 [B] aligned-row offsets (data_start // N); rs: int32 [B]
+    sub-window shifts; fe: f32 [B] -> (value i32, power f32, noise f32)
+    [B, mtu].  Output-identical to
+    payload_detect(gather_rows(x, q, Rp, N), rs, fe, mtu)."""
+    B, W, N = x3.shape
+    pc = payload_direct_pc(N, mtu, W, B)
+    assert pc is not None, (N, mtu, W, B)
+    rp = 8 * (mtu // 8 + 1)
+    M = pc * rp
+    det_specs, det_arrays, make_det = _detect_args(N, bf16)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    cre, cim = _dechirp_table_np(N, False)
+    qc = jnp.clip(q.astype(jnp.int32), 0, W - rp)  # == gather_rows's clamp
+    sh_rows = jnp.repeat((N - rs.astype(jnp.int32)) % N, rp).reshape(-1, 1)
+    fe_rows = jnp.repeat(fe.astype(jnp.float32), rp).reshape(-1, 1)
+    in_specs = [
+        pl.BlockSpec((M, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (pc, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (pc, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        const((1, N)),
+        const((1, N)),
+    ] + det_specs
+    out_spec = pl.BlockSpec(
+        (M, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // pc,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+    )
+    kernel = _payload_direct_kernel_factory(N, W, rp, pc, make_det)
+    value, power, noise = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * rp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B * rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * rp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * rp * N * (min(N, 128) + max(1, N // 128)),
+            bytes_accessed=B * W * N * 8 + B * rp * 12,
+            transcendentals=2 * B * rp * N,
+        ),
+        interpret=interpret,
+    )(qc,
+      sh_rows,
+      fe_rows,
+      x3.re, x3.im,
+      jnp.asarray(cre)[None], jnp.asarray(cim)[None],
+      *det_arrays)
+    cut = lambda a: a.reshape(B, rp)[:, :mtu]
+    return cut(value), cut(power), cut(noise)
+
+
+def payload_detect_direct(x3, q, rs, fe, mtu: int, interpret: bool = False,
+                          bf16: bool = False):
+    """Gather-free fused payload stage: whole-buffer row view x3
+    (IQ [B, W, N]), per-channel aligned-row offset q = data_start // N,
+    sub-window shift rs = data_start % N and fine CFO fe ->
+    (value, power, noise) [B, mtu].  Bit-identical to
+    payload_detect(shift.gather_rows(x, q, payload_rows, N), rs, fe, mtu)
+    but the gathered rows never exist in HBM; use when
+    payload_direct_pc(N, mtu, W, B) is not None."""
+    x3 = cplx.as_iq(x3)
+    B, W, N = x3.shape
+    value, power, noise = _payload_direct(
+        x3, jnp.asarray(q), jnp.asarray(rs), jnp.asarray(fe), mtu,
+        interpret, bf16,
+    )
+    return value, power, noise
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,39 @@ def test_payload_kernel_matches_shift_plus_detect(N, mtu, tiled, rng):
     )
 
 
+@pytest.mark.parametrize("N,mtu", [(128, 20), (512, 40)])
+def test_payload_direct_matches_gather_plus_flat(N, mtu, rng):
+    """The gather-free direct kernel (VMEM row selection from the whole
+    [B, W, N] buffer view) is bit-identical to gather_rows + the flat
+    payload kernel, including at the row-clamp boundary."""
+    rp = pallas_demod.payload_rows(N, mtu)
+    W = rp + 9
+    B = 6
+    pc = pallas_demod.payload_direct_pc(N, mtu, W, B)
+    assert pc is not None and B % pc == 0
+    x3 = cplx.IQ(
+        jnp.asarray(rng.standard_normal((B, W, N)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, W, N)), jnp.float32),
+    )
+    q = np.asarray(rng.integers(0, W - rp + 1, B), np.int32)
+    q[0] = 0
+    q[1] = W - rp           # clamp boundary
+    q[2] = W + 5            # past the end -> clamped like gather_rows
+    q = jnp.asarray(q)
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    fe = jnp.asarray(rng.standard_normal(B) * 0.4, jnp.float32)
+    x = x3.reshape(B, W * N)
+    g = shift_ops.gather_rows(x, q, rp, N)
+    ref = pallas_demod.payload_detect(g, rs, fe, mtu, interpret=True)
+    out = pallas_demod.payload_detect_direct(
+        x3, q, rs, fe, mtu, interpret=True
+    )
+    for r, o, name in zip(ref, out, ("value", "power", "noise")):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(o), err_msg=name
+        )
+
+
 def _impaired_bank(cfg, rng, B, payload_bytes=6, noise=0.2, cfo_bins=2.3):
     payload = jnp.asarray(
         rng.integers(0, 256, (B, payload_bytes), dtype=np.uint8)

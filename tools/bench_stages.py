@@ -9,8 +9,8 @@ sub-stage with the same chained-dispatch method (K dependent dispatches,
 one readback — amortizes the ~24 ms tunnel RPC) so the gap has an owner.
 
 Stages (models/demodulator.py):
-  coarse    vmap(_align_frame): stride-N dechirp-detect over all windows
-            + agreement epilogue -> (t_cand, t0, found_pre)
+  coarse    _coarse_detect (batched, outside the vmap) + vmapped
+            _align_frame epilogue -> (t_cand, t0, found_pre)
   trackg    gather_rows of the TRACK_ROWS scan block
   track     fused sync-scan + CFO kernel (incl. its gather)
   head      _head_stage = coarse + trackg + track
@@ -101,9 +101,13 @@ def main() -> None:
         rows.append({"stage": name, "ms": round(s * 1e3, 3)})
         print(json.dumps(rows[-1]), flush=True)
 
-    coarse_fn = jax.jit(
-        lambda x: jax.vmap(lambda row: dm._align_frame(row, cfg, False))(x)
-    )
+    def _coarse_align(x):
+        cv, csnr, cpwr = dm._coarse_detect(x, cfg, False)
+        return jax.vmap(
+            lambda v, s, p: dm._align_frame(v, s, p, cfg, x.shape[-1])
+        )(cv, csnr, cpwr)
+
+    coarse_fn = jax.jit(_coarse_align)
 
     def step_coarse(carry):
         out = coarse_fn(dep(iq, carry))
