@@ -65,6 +65,38 @@ def build_and_reference(path: str) -> None:
     out["wide_re"], out["wide_im"] = wide[0], wide[1]
     out["chan_re"], out["chan_im"] = np.asarray(y.re), np.asarray(y.im)
 
+    # direct payload kernel: random row offsets covering every sublane
+    # alignment (q % 8 in 0..7) — stresses the scalar-prefetched dynamic
+    # sublane slice on real Mosaic; reference = XLA gather + detect
+    from lora_tpu.ops import detect as det_ops
+    from lora_tpu.ops import pallas_demod
+    from lora_tpu.ops import shift as shift_ops
+
+    Nd, mtud, Bd = 1024, 20, 32
+    rpd = pallas_demod.payload_rows(Nd, mtud)
+    Wd = rpd + 17
+    assert pallas_demod.payload_direct_pc(Nd, mtud, Wd, Bd) is not None
+    dx = rng.standard_normal((2, Bd, Wd * Nd)).astype(np.float32)
+    dq = np.concatenate(
+        [np.arange(8, dtype=np.int32),
+         rng.integers(0, Wd - rpd + 1, Bd - 8).astype(np.int32)]
+    )
+    drs = rng.integers(0, Nd, Bd).astype(np.int32)
+    dfe = (0.4 * rng.standard_normal(Bd)).astype(np.float32)
+    dg = shift_ops.gather_rows(
+        cplx.IQ(jnp.asarray(dx[0]), jnp.asarray(dx[1])), jnp.asarray(dq),
+        rpd, Nd,
+    )
+    dwin = shift_ops.shift_windows(dg, jnp.asarray(drs), mtud)
+    dref = det_ops.dechirp_detect(
+        dwin, ferr=jnp.asarray(dfe)[:, None], want_f_index=False,
+        fft_impl="xla",
+    )
+    out["dir_re"], out["dir_im"] = dx[0], dx[1]
+    out["dir_q"], out["dir_rs"], out["dir_fe"] = dq, drs, dfe
+    out["dir_value"] = np.asarray(dref.value)
+    out["dir_power"] = np.asarray(dref.power)
+
     # matmul-FFT windows (the XLA four-step path: the track-scan fallback
     # at N >= 2048 and debug taps); reference = host numpy FFT
     fx = rng.standard_normal((2, 4, 4096)).astype(np.float32)
@@ -136,6 +168,23 @@ def main() -> int:
         )
     )
     report("channelizer_parity", err < 1e-3, max_err=err)
+
+    from lora_tpu.ops import pallas_demod
+
+    Nd, mtud, Bd = 1024, 20, 32
+    Wd = ref["dir_re"].shape[-1] // Nd
+    x3 = cplx.IQ(
+        jnp.asarray(ref["dir_re"].reshape(Bd, Wd, Nd)),
+        jnp.asarray(ref["dir_im"].reshape(Bd, Wd, Nd)),
+    )
+    dval, dpwr, _ = pallas_demod.payload_detect_direct(
+        x3, jnp.asarray(ref["dir_q"]), jnp.asarray(ref["dir_rs"]),
+        jnp.asarray(ref["dir_fe"]), mtud,
+    )
+    v_eq = np.array_equal(np.asarray(dval), ref["dir_value"])
+    p_err = float(np.abs(np.asarray(dpwr) - ref["dir_power"]).max())
+    report("payload_direct_kernel", v_eq and p_err < 2e-3,
+           values=v_eq, max_power_err=p_err)
 
     from lora_tpu.ops import fft as fft_ops
 
