@@ -113,6 +113,24 @@ def main() -> None:
         B * M8 * win_flops, _timed_chain(step_payload, reps),
         B * cfg.mtu * N)
 
+    # ---- direct payload kernel (gather-free: reads the [B, W, N] view) ----
+    Wd = Rp + 19
+    if pd.payload_direct_pc(N, cfg.mtu, Wd, B) is not None:
+        x3 = IQ(r2((B, Wd, N)), r2((B, Wd, N)))
+        q0 = jnp.asarray(rng.integers(0, Wd - Rp + 1, B), jnp.int32)
+        jax.block_until_ready(x3)
+
+        def step_direct(carry):
+            fe = fe0 if carry is None else carry
+            v, p, n = pd.payload_detect_direct(
+                x3, q0, rs0, fe, cfg.mtu, interpret=interp
+            )
+            return v, 0.0 * p[:, 0] + fe0
+
+        add("payload_detect_direct (gather-free)",
+            B * Wd * N * 8 + B * M8 * 12, B * M8 * win_flops,
+            _timed_chain(step_direct, reps), B * cfg.mtu * N)
+
     # ---- fused track kernel (sync scan + CFO) -----------------------------
     xs = IQ(r2((B, pd.TRACK_ROWS, N)), r2((B, pd.TRACK_ROWS, N)))
     jax.block_until_ready(xs)
