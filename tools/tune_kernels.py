@@ -131,6 +131,55 @@ def sweep_payload(N: int, B: int, mtu: int, flat_maxes, bf16=False):
         }), flush=True)
 
 
+def sweep_payload_direct(N: int, B: int, mtu: int, pcs, bf16=False):
+    """Channels/cell for the gather-free direct payload kernel (the
+    (8<<20) input-block budget in payload_direct_pc is a guess; this
+    measures the real PC optimum, incl. the scalar-prefetch + dynamic
+    sublane-slice path the other fused kernels avoid)."""
+    rng = np.random.default_rng(0)
+    rp = 8 * (mtu // 8 + 1)
+    W = rp + 19
+    r2 = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x3 = IQ(r2((B, W, N)), r2((B, W, N)))
+    q = jnp.asarray(rng.integers(0, W - rp + 1, B), jnp.int32)
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    fe = jnp.zeros(B, jnp.float32)
+    jax.block_until_ready(x3)
+    base = None
+    for pc in pcs:
+        if B % pc or pc * rp > 1024 or pc * rp * N * 16 > 100 * (1 << 20):
+            continue
+        orig = pd.payload_direct_pc
+        pd.payload_direct_pc = functools.lru_cache(maxsize=None)(
+            lambda n, m, w, b, _pc=pc: _pc
+        )
+        try:
+            fresh = jax.jit(
+                pd._payload_direct.__wrapped__,
+                static_argnames=("mtu", "interpret", "bf16"),
+            )
+            s = _timed(
+                lambda a, b_, c, d: fresh(a, b_, c, d, mtu, False, bf16),
+                (x3, q, rs, fe),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"kernel": "payload_direct", "N": N, "B": B,
+                              "PC": pc, "bf16": bf16,
+                              "error": repr(e)[:200]}), flush=True)
+            continue
+        finally:
+            pd.payload_direct_pc = orig
+        if base is None:
+            base = s
+        gsps = B * mtu * N / s / 1e9
+        print(json.dumps({
+            "kernel": "payload_direct", "N": N, "B": B, "mtu": mtu,
+            "PC": pc, "bf16": bf16,
+            "ms": round(s * 1e3, 3), "Gsamp/s": round(gsps, 2),
+            "vs_first": round(base / s, 2),
+        }), flush=True)
+
+
 def sweep_channelizer(K: int, T: int, S: int, groups):
     """Group width G for the block-Toeplitz filterbank contraction
     (ops/channelizer.channelize): S wideband streams of T samples."""
@@ -208,6 +257,9 @@ def main():
     for bf16 in (False, True):
         sweep_payload(128, B, 20, (1 << 16, 1 << 17, 1 << 18, 1 << 19), bf16)
         sweep_payload(1024, B, 44, (1 << 17, 1 << 18, 1 << 19, 1 << 20), bf16)
+    for bf16 in (False, True):
+        sweep_payload_direct(128, B, 20, (1, 2, 4, 8, 16), bf16)
+        sweep_payload_direct(1024, B, 44, (1, 2, 4, 8), bf16)
     sweep_channelizer(64, 1 << 20, 16 if args.quick else 64,
                       (1, 2, 4, 8, 16, 32, 64))
 
