@@ -91,11 +91,17 @@ def _payload_gather_rows(cfg: LoRaConfig) -> int:
 def required_samples(cfg: LoRaConfig, search_symbols: int = 4) -> int:
     """Minimum buffer length for demodulate(): search margin + preamble +
     sync + downchirps + quarter + MTU payload (padded to the payload
-    gather grid) + retime slack."""
+    gather grid) + retime slack.
+
+    Always a multiple of N: the quarter-chirp consume is rounded up to a
+    whole symbol so the [B, W, N] row view the coarse/payload kernels read
+    is a free reshape of the buffer (a T % N != 0 buffer would make the
+    xb[:, :W*N] slice a real copy — ~2x1.5 GB of HBM traffic at
+    SF10/B=2048)."""
     N = cfg.N
     head = cfg.preamble_symbols + 2 + 2 + 1
     rows = max(cfg.mtu + 1, _payload_gather_rows(cfg))
-    return (search_symbols + head + rows) * N + N // 4
+    return (search_symbols + head + rows + 1) * N
 
 
 def _trunc_half(x: jax.Array) -> jax.Array:

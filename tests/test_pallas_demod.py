@@ -238,6 +238,7 @@ def test_kernel_grid_geometry_mosaic_legal():
     (caught live: _track_tc(4096) == 4 failed to lower on hardware)."""
     from lora_tpu.ops.pallas_demod import (
         _track_tc,
+        payload_direct_pc,
         payload_flat_geometry,
         payload_geometry,
         TRACK_ROWS,
@@ -264,3 +265,16 @@ def test_kernel_grid_geometry_mosaic_legal():
             assert TWM % 8 == 0 and TWM >= 8, (N, mtu, TWM)
             assert TWM * tiles >= mtu + 1 or TWM * tiles > mtu, (N, mtu)
             assert Rp >= mtu + 1, (N, mtu, Rp)
+            # direct kernel: representative demod buffer width
+            rows = 8 * (mtu // 8 + 1)
+            W = 4 + 10 + 5 + max(mtu + 1, rows) + 1
+            for B in (1, 5, 2048):
+                pcd = payload_direct_pc(N, mtu, W, B)
+                if pcd is None:
+                    continue
+                assert B % pcd == 0 and pcd * rows <= 1024, (N, mtu, B, pcd)
+                # double-buffered (pc, W, N) IQ inputs under the 24 MB limit
+                assert 2 * 2 * pcd * W * N * 4 < 17 * 1024 * 1024, (
+                    N, mtu, B, pcd,
+                )
+                assert (pcd * rows) % 8 == 0, (N, mtu, B, pcd)
