@@ -610,11 +610,12 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
         #    the bits of sh (a barrel shifter).  Replaces the round-1
         #    per-channel dynamic-roll loop, which serialized the cell (and
         #    capped TC at 32 profitably); every step here is a full
-        #    (TC, N) VPU op.  xr/xi arrive window-major ([R, TC, N]), so
-        #    each window block is one leading-dim slice.
+        #    (TC, N) VPU op.  xr/xi arrive channel-major ([TC, R, N], the
+        #    gather's native layout — no XLA transpose pass); window block
+        #    k is the static row-k slice of every channel.
         sh = shv[:]                                    # (TC, 1) int32
         for k in range(R):
-            vr, vi = xr[k], xi[k]
+            vr, vi = xr[:, k, :], xi[:, k, :]
             for b in range(N.bit_length() - 1):        # sh < N
                 amt = 1 << b
                 m = (sh & amt) != 0
@@ -721,18 +722,14 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
     const = lambda shape: pl.BlockSpec(
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    # window-major layout: the kernel's barrel roll works on (TC, N)
-    # window blocks, so rows go in as [R, Bp, N] leading-dim slices
-    xw_re = jnp.transpose(xs.re, (1, 0, 2))
-    xw_im = jnp.transpose(xs.im, (1, 0, 2))
     shv = ((N - rs.astype(jnp.int32)) % N).reshape(Bp, 1)
     in_specs = [
         pl.BlockSpec((TC, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (R, TC, N), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (TC, R, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (R, TC, N), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (TC, R, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         const((1, N)),
         const((1, N)),
@@ -773,7 +770,7 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
             transcendentals=2 * Bp * n_det * N,
         ),
         interpret=interpret,
-    )(shv, xw_re, xw_im,
+    )(shv, xs.re, xs.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       jnp.asarray(dre)[None], jnp.asarray(dim)[None],
       *det_arrays)
