@@ -158,8 +158,20 @@ def main() -> None:
         )
         return d.value, 0.0 * d.power + few0
 
-    add("dechirp_detect (batched)", B * W * N * 8 + B * W * 16,
+    add("dechirp_detect (batched, +derotate)", B * W * N * 8 + B * W * 16,
         B * W * win_flops, _timed_chain(step_det, reps), B * W * N)
+
+    # no-derotator variant: how the demod's coarse stage calls it (ferr
+    # None skips 2N cos/sin per window on the VPU)
+    def step_det_nf(carry):
+        x = xw if carry is None else carry
+        d = pdet.dechirp_detect_pallas(
+            x, interpret=interp, want_findex=False
+        )
+        return d.value, IQ(xw.re + 0.0 * d.power[..., None], xw.im)
+
+    add("dechirp_detect (batched, coarse mode)", B * W * N * 8 + B * W * 16,
+        B * W * win_flops, _timed_chain(step_det_nf, reps), B * W * N)
 
     # ---- polyphase channelizer -------------------------------------------
     K, S = 64, (16 if on_tpu else 1)
