@@ -59,14 +59,15 @@ def test_payload_kernel_matches_shift_plus_detect(N, mtu, tiled, rng):
     )
 
 
-@pytest.mark.parametrize("N,mtu", [(128, 20), (512, 40)])
-def test_payload_direct_matches_gather_plus_flat(N, mtu, rng):
+@pytest.mark.parametrize(
+    "N,mtu,B", [(128, 20, 1), (128, 20, 6), (512, 40, 6)]
+)
+def test_payload_direct_matches_gather_plus_flat(N, mtu, B, rng):
     """The gather-free direct kernel (VMEM row selection from the whole
     [B, W, N] buffer view) is bit-identical to gather_rows + the flat
     payload kernel, including at the row-clamp boundary."""
     rp = pallas_demod.payload_rows(N, mtu)
     W = rp + 9
-    B = 6
     pc = pallas_demod.payload_direct_pc(N, mtu, W, B)
     assert pc is not None and B % pc == 0
     x3 = cplx.IQ(
@@ -75,8 +76,9 @@ def test_payload_direct_matches_gather_plus_flat(N, mtu, rng):
     )
     q = np.asarray(rng.integers(0, W - rp + 1, B), np.int32)
     q[0] = 0
-    q[1] = W - rp           # clamp boundary
-    q[2] = W + 5            # past the end -> clamped like gather_rows
+    if B > 1:
+        q[1] = W - rp       # clamp boundary
+        q[2] = W + 5        # past the end -> clamped like gather_rows
     q = jnp.asarray(q)
     rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
     fe = jnp.asarray(rng.standard_normal(B) * 0.4, jnp.float32)
