@@ -157,6 +157,18 @@ def main() -> int:
             f"demod_parity_sf{sf}", f_eq and s_eq and t_eq and p_ok,
             found=f_eq, symbols=s_eq, t_sync=t_eq, payloads=p_ok,
         )
+        # bf16 MXU mode: same decisions (found/symbols/t_sync) as the CPU
+        # f32 reference — settles whether the headline bench may use it
+        demb = api.demodulate(x, cfg, fused="bf16")
+        b_eq = (
+            np.array_equal(np.asarray(demb.found), ref[f"found{sf}"])
+            and np.array_equal(
+                np.asarray(demb.symbols)[:, : cfg.num_symbols(16)],
+                ref[f"symbols{sf}"],
+            )
+            and np.array_equal(np.asarray(demb.t_sync), ref[f"tsync{sf}"])
+        )
+        report(f"demod_bf16_decisions_sf{sf}", b_eq)
 
     y, _ = chz.channelize(
         cplx.IQ(jnp.asarray(ref["wide_re"]), jnp.asarray(ref["wide_im"])), 16
