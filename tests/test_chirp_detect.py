@@ -128,3 +128,37 @@ def test_rotator_shifts_peak():
 
 
 import jax  # noqa: E402  (used by vmap above)
+
+
+@pytest.mark.parametrize(
+    "case", ["det_n16_tone5", "det_n16_noisy", "det_n256_noisy",
+             "det_n256_noise", "det_n1024_noisy"],
+)
+def test_detector_golden_vs_reference_oracle(case):
+    """Detector outputs vs the REFERENCE's own compiled LoRaDetector.hpp
+    (kissfft-backed, tools/gen_golden.cpp §7): identical argmax, dB powers
+    and fractional-bin interpolation within f32-FFT tolerance on the exact
+    same post-dechirp samples (LoRaDetector.hpp:29-64)."""
+    x = golden_iq(case + "_in")
+    want_value, want_power, want_noise, want_findex = GOLDEN[case + "_out"]
+    d = detect.detect(cplx.from_complex(jnp.asarray(x)), fft_impl="xla")
+    assert int(d.value) == int(want_value)
+    np.testing.assert_allclose(float(d.power), want_power, atol=2e-3)
+    np.testing.assert_allclose(float(d.f_index), want_findex, atol=2e-3)
+    if want_noise > -100:  # pure-tone "noise" is numerical dust in both
+        np.testing.assert_allclose(float(d.noise), want_noise, atol=2e-2)
+    # the fused Pallas peak search must agree bin-for-bin too (its DFT is
+    # the same matmul math; run a 2-row batch to satisfy the kernel tile)
+    from lora_tpu.ops import pallas_detect
+
+    if pallas_detect.supported(x.size):
+        xb = cplx.from_complex(jnp.asarray(np.stack([x, x])))
+        # detect() consumes dechirped windows; the kernel fuses the
+        # dechirp, so un-dechirp the golden samples first
+        tbl = cplx.to_complex(chirp.dechirp_table(x.size, False))
+        xb = cplx.from_complex(jnp.asarray(np.stack([x, x]) / np.asarray(tbl)))
+        p = pallas_detect.dechirp_detect_pallas(xb, interpret=True)
+        assert int(np.asarray(p.value)[0]) == int(want_value)
+        np.testing.assert_allclose(
+            np.asarray(p.power)[0], want_power, atol=2e-3
+        )

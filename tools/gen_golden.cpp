@@ -19,6 +19,7 @@
 #include <cmath>
 
 #include "ChirpGenerator.hpp"  // reference oracle (-I /root/reference, Pothos stubbed)
+#include "LoRaDetector.hpp"    // reference detector oracle (kissfft-backed)
 
 // The reference header is injected with:  g++ -include $(REF)/LoRaCodes.hpp
 // It provides: headerChecksum, sx1272DataChecksum, Sx1272ComputeWhitening,
@@ -258,7 +259,53 @@ int main() {
         auto s3 = oracle_encode(payload, 10, 0, 4, true, true, false);
         print_u16_array("enc_symbols_nowhiten", s3);
         auto s4 = oracle_encode(payload, 10, 0, 1, true, true, true);
-        print_u16_array("enc_symbols_rdd1", s4, false);
+        print_u16_array("enc_symbols_rdd1", s4);
+    }
+
+    // 7. detector vectors (LoRaDetector.hpp:29-64 via the reference's own
+    // kissfft): post-dechirp windows -> (argmax, power dB, powerAvg dB,
+    // fractional-bin fIndex).  Inputs are dumped so the python side feeds
+    // the identical samples.
+    {
+        struct Case { const char *key; size_t N; int bin; float amp;
+                      float noise; float phase; };
+        const Case cases[] = {
+            {"det_n16_tone5",      16,   5,  1.0f, 0.0f, 0.3f},
+            {"det_n16_noisy",      16,  11,  1.0f, 0.5f, 1.1f},
+            {"det_n256_noisy",    256,  77,  1.0f, 1.0f, 0.7f},
+            {"det_n256_noise",    256,  -1,  0.0f, 1.0f, 0.0f},
+            {"det_n1024_noisy",  1024, 700,  1.0f, 2.0f, 2.2f},
+        };
+        for (size_t c = 0; c < sizeof(cases) / sizeof(cases[0]); c++) {
+            const Case &cs = cases[c];
+            std::vector<std::complex<float>> in(cs.N);
+            for (size_t i = 0; i < cs.N; i++) {
+                float re = 0.f, im = 0.f;
+                if (cs.noise > 0) {
+                    // deterministic noise from the shared xorshift stream
+                    re = cs.noise * (float(next_byte()) / 127.5f - 1.0f);
+                    im = cs.noise * (float(next_byte()) / 127.5f - 1.0f);
+                }
+                if (cs.bin >= 0) {
+                    float ang = 2.0f * float(M_PI) * cs.bin * i / cs.N
+                                + cs.phase;
+                    re += cs.amp * std::cos(ang);
+                    im += cs.amp * std::sin(ang);
+                }
+                in[i] = {re, im};
+            }
+            LoRaDetector<float> det(cs.N);
+            for (size_t i = 0; i < cs.N; i++) det.feed(i, in[i]);
+            float power = 0, powerAvg = 0, fIndex = 0;
+            size_t value = det.detect(power, powerAvg, fIndex);
+            char key[64];
+            snprintf(key, sizeof key, "%s_in", cs.key);
+            print_cf_array(key, in);
+            bool last = (c + 1 == sizeof(cases) / sizeof(cases[0]));
+            printf("  \"%s_out\": [%zu,%.9g,%.9g,%.9g]%s\n", cs.key,
+                   value, double(power), double(powerAvg), double(fIndex),
+                   last ? "" : ",");
+        }
     }
 
     printf("}\n");
