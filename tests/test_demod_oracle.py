@@ -131,3 +131,56 @@ def test_noisy_cfo_frame_matches_reference_fsm(tmp_path, rng):
 
     assert decode_bytes(theirs) == b"noisy cfo frame."
     assert decode_bytes(ours) == b"noisy cfo frame."
+
+
+MOD_ORACLE = ROOT / "tools" / "gen_mod_golden"
+
+
+def _build_mod_oracle() -> bool:
+    if MOD_ORACLE.exists():
+        return True
+    if shutil.which("make") is None or not REF.exists():
+        return False
+    r = subprocess.run(
+        ["make", "gen_mod_golden"], cwd=ROOT / "tools",
+        capture_output=True, text=True,
+    )
+    return r.returncode == 0 and MOD_ORACLE.exists()
+
+
+@pytest.mark.skipif(
+    not _build_mod_oracle(), reason="reference repo / toolchain unavailable"
+)
+def test_reference_mod_waveform_demodulates_byte_exact(tmp_path):
+    """Reverse interop: the REFERENCE modulator FSM (LoRaMod.cpp's 9-state
+    per-symbol waveform generator with its continuous phase accumulator)
+    renders a frame from OUR encoder's symbols; our demodulator must
+    recover every data symbol exactly and decode the payload byte-exactly
+    (their-TX -> our-RX)."""
+    cfg = lora_tpu.LoRaConfig(sf=8, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+    msg = np.frombuffer(b"ref-tx to our-rx", np.uint8)
+    syms = np.asarray(
+        api.encode(jnp.asarray(msg[None]), cfg)
+    )[0].astype(np.uint16)
+    sym_f = tmp_path / "syms.u16"
+    sym_f.write_bytes(syms.tobytes())
+    wav_f = tmp_path / "refmod.cf32"
+    subprocess.run(
+        [str(MOD_ORACLE), str(sym_f), str(wav_f), str(cfg.sf),
+         hex(cfg.sync), "1", "1", "1.0"],
+        capture_output=True, text=True, check=True,
+    )
+    raw = np.fromfile(wav_f, np.float32)
+    x = raw[0::2] + 1j * raw[1::2]
+    T = lora_tpu.required_samples(cfg)
+    buf = np.zeros(T, np.complex64)
+    buf[: min(x.size, T)] = x[:T]
+    dem = lora_tpu.demodulate(
+        cplx.from_complex(jnp.asarray(buf[None])), cfg
+    )
+    assert bool(dem.found[0]) and int(dem.freq_error[0]) == 0
+    ours = np.asarray(dem.symbols)[0][: syms.size].astype(np.uint16)
+    np.testing.assert_array_equal(ours, syms)
+    res = api.decode(dem.symbols.astype(jnp.int32), cfg)
+    assert api.extract_payloads(res)[0] == b"ref-tx to our-rx"

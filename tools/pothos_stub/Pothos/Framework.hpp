@@ -14,6 +14,7 @@
 #include <map>
 #include <memory>
 #include <sstream>
+#include <stdexcept>
 #include <string>
 #include <typeinfo>
 #include <vector>
@@ -22,11 +23,41 @@
 
 namespace Pothos {
 
+class InvalidArgumentException : public std::runtime_error
+{
+public:
+    InvalidArgumentException(const std::string &what,
+                             const std::string &why)
+        : std::runtime_error(what + ": " + why)
+    {
+    }
+};
+
+//! Type-erased value holder (just enough for Packet messages).
 class Object
 {
 public:
     Object(void) {}
-    template <typename T> explicit Object(const T &) {}
+    template <typename T>
+    explicit Object(const T &v) : _p(std::make_shared<Holder<T>>(v))
+    {
+    }
+    template <typename T> const T &extract(void) const
+    {
+        return static_cast<const Holder<T> *>(_p.get())->v;
+    }
+
+private:
+    struct HolderBase
+    {
+        virtual ~HolderBase(void) {}
+    };
+    template <typename T> struct Holder : HolderBase
+    {
+        explicit Holder(const T &t) : v(t) {}
+        T v;
+    };
+    std::shared_ptr<HolderBase> _p;
 };
 
 class Label
@@ -42,14 +73,16 @@ public:
 class BufferChunk
 {
 public:
-    BufferChunk(void) : length(0), ptr(nullptr) {}
+    BufferChunk(void) : length(0), ptr(nullptr), _esz(1) {}
     BufferChunk(const std::type_info &ti, const size_t numElems)
         : length(numElems * elemSize(ti)),
           _storage(std::make_shared<std::vector<uint8_t>>(
               numElems * elemSize(ti))),
-          ptr(_storage->data())
+          ptr(_storage->data()),
+          _esz(elemSize(ti))
     {
     }
+    size_t elements(void) const { return length / _esz; }
     static size_t elemSize(const std::type_info &ti)
     {
         if (ti == typeid(int16_t) or ti == typeid(uint16_t)) return 2;
@@ -66,6 +99,7 @@ public:
     // stub internals (public: harness + ports poke them directly)
     std::shared_ptr<std::vector<uint8_t>> _storage;
     void *ptr;
+    size_t _esz;
 };
 
 class Packet
@@ -104,6 +138,9 @@ public:
     size_t totalElements(void) const { return _offset; }
     void consume(const size_t n) { _offset += n; }
 
+    bool hasMessage(void) const { return _msgHead < _msgs.size(); }
+    Object popMessage(void) { return _msgs.at(_msgHead++); }
+
     BufferChunk buffer(void)
     {
         BufferChunk b;
@@ -120,12 +157,15 @@ public:
         _data.insert(_data.end(), u, u + bytes);
     }
     size_t reserve(void) const { return _reserve; }
+    void pushMessage(const Object &o) { _msgs.push_back(o); }
 
 private:
     std::vector<uint8_t> _data;  // raw bytes
     size_t _offset;              // in elements
     size_t _reserve;
     size_t _elemSize;
+    std::vector<Object> _msgs;
+    size_t _msgHead = 0;
 };
 
 class OutputPort
