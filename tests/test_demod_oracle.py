@@ -184,3 +184,75 @@ def test_reference_mod_waveform_demodulates_byte_exact(tmp_path):
     np.testing.assert_array_equal(ours, syms)
     res = api.decode(dem.symbols.astype(jnp.int32), cfg)
     assert api.extract_payloads(res)[0] == b"ref-tx to our-rx"
+
+
+DEC_ORACLE = ROOT / "tools" / "gen_dec_golden"
+
+
+def _build_dec_oracle() -> bool:
+    if DEC_ORACLE.exists():
+        return True
+    if shutil.which("make") is None or not REF.exists():
+        return False
+    r = subprocess.run(
+        ["make", "gen_dec_golden"], cwd=ROOT / "tools",
+        capture_output=True, text=True,
+    )
+    return r.returncode == 0 and DEC_ORACLE.exists()
+
+
+def _run_dec_oracle(syms, cfg, tmp_path, errchk):
+    f = tmp_path / "dec_syms.u16"
+    f.write_bytes(np.asarray(syms, np.uint16).tobytes())
+    out = subprocess.run(
+        [str(DEC_ORACLE), str(f), str(cfg.sf), str(0), cfg.cr,
+         "1" if cfg.whitening else "0", "1" if cfg.crc else "0",
+         "1" if cfg.hdr else "0", "1" if errchk else "0",
+         "1" if cfg.explicit_header else "0", str(cfg.data_length)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout)
+
+
+@pytest.mark.skipif(
+    not _build_dec_oracle(), reason="reference repo / toolchain unavailable"
+)
+def test_decoder_matches_reference_block(tmp_path, rng):
+    """Decoder parity against the compiled reference LoRaDecoder block:
+    clean symbols decode to identical bytes; a corrupted symbol drops on
+    both sides with error_check on, and FEC-corrects to identical bytes
+    on both sides with error_check off (LoRaDecoder.cpp:293-384)."""
+    cfg = lora_tpu.LoRaConfig(sf=8, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+    payload = b"decoder parity!!"
+    msg = np.frombuffer(payload, np.uint8)
+    syms = np.asarray(
+        api.encode(jnp.asarray(msg[None]), cfg)
+    )[0].astype(np.uint16)
+
+    def ours(arr, error_check):
+        pad = np.pad(arr, (0, cfg.mtu - arr.size))[None].astype(np.int32)
+        res = api.decode(
+            jnp.asarray(pad), cfg.replace(error_check=error_check)
+        )
+        return api.extract_payloads(res)[0], int(res.status[0])
+
+    # clean: byte-identical output packets
+    ref = _run_dec_oracle(syms, cfg, tmp_path, errchk=True)
+    got, status = ours(syms, True)
+    assert [bytes(p) for p in ref["packets"]] == [payload]
+    assert got == payload and status == 0 and ref["dropped"] == 0
+
+    # one corrupted symbol, error_check on: both drop
+    bad = syms.copy()
+    bad[10] ^= 0x80
+    refb = _run_dec_oracle(bad, cfg, tmp_path, errchk=True)
+    gotb, statusb = ours(bad, True)
+    assert refb["packets"] == [] and refb["dropped"] == 1
+    assert gotb is None and statusb != 0
+
+    # error_check off: both FEC-correct to the same payload
+    refc = _run_dec_oracle(bad, cfg, tmp_path, errchk=False)
+    gotc, statusc = ours(bad, False)
+    assert [bytes(p) for p in refc["packets"]] == [payload]
+    assert gotc == payload and statusc == 0

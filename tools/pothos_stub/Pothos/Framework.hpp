@@ -23,12 +23,21 @@
 
 namespace Pothos {
 
-class InvalidArgumentException : public std::runtime_error
+class Exception : public std::runtime_error
+{
+public:
+    Exception(const std::string &what, const std::string &why)
+        : std::runtime_error(what + ": " + why)
+    {
+    }
+};
+
+class InvalidArgumentException : public Exception
 {
 public:
     InvalidArgumentException(const std::string &what,
                              const std::string &why)
-        : std::runtime_error(what + ": " + why)
+        : Exception(what, why)
     {
     }
 };
@@ -230,6 +239,12 @@ public:
     {
         _inputs[key(idx)].reset(new InputPort());
         _inputElemSize[key(idx)] = BufferChunk::elemSize(ti);
+    }
+    void setupInput(const std::string &name,
+                    const std::type_info &ti = typeid(void))
+    {
+        _inputs[name].reset(new InputPort());
+        _inputElemSize[name] = BufferChunk::elemSize(ti);
     }
     void setupOutput(const size_t idx, const std::type_info & = typeid(void))
     {
