@@ -316,14 +316,33 @@ def _fused_track(xb: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int,
                  interpret: bool, bf16: bool = False):
     """Stages 2-4 as one fused Pallas launch (ops/pallas_demod.track):
     row-granular gather of the scan block, in-kernel sub-window roll, sync
-    scan + downchirp CFO.  Output-identical to the vmapped _scan_track."""
+    scan + downchirp CFO.  Output-identical to the vmapped _scan_track.
+
+    Single-frame banks whose geometry fits route to the gather-free
+    direct kernel: it reads the [B, W, N] row view (CSE'd with the coarse
+    detector's and direct payload kernel's operand) and selects each
+    channel's scan rows in VMEM, so the gathered [B, TRACK_ROWS, N]
+    intermediate never exists in HBM."""
     N = cfg.N
-    rows = shift_ops.gather_rows(
-        xb, t0 // N, pallas_demod.TRACK_ROWS, N
+    B = xb.shape[0]
+    W = T // N
+    direct = (
+        t0.ndim == 1
+        and pallas_demod.track_direct_tc(N, W, B) is not None
     )
-    tr = pallas_demod.track(
-        rows, t0 % N, cfg.sync, cfg.thresh, interpret=interpret, bf16=bf16
-    )
+    if direct:
+        x3 = xb[:, : W * N].reshape(B, W, N)
+        tr = pallas_demod.track_direct(
+            x3, t0 // N, t0 % N, cfg.sync, cfg.thresh,
+            interpret=interpret, bf16=bf16,
+        )
+    else:
+        rows = shift_ops.gather_rows(
+            xb, t0 // N, pallas_demod.TRACK_ROWS, N
+        )
+        tr = pallas_demod.track(
+            rows, t0 % N, cfg.sync, cfg.thresh, interpret=interpret, bf16=bf16
+        )
     found = found_pre & tr["synced"]
     k_sync = tr["k_sync"]
     freq_error = tr["freq_error"]

@@ -20,7 +20,15 @@ launches.  This module fuses both stages:
     per-channel state carried in vector registers.  Replaces ~26
     dependent XLA dispatches with one launch.
 
-Both kernels reuse the in-kernel DFT/peak helpers from ops/pallas_detect
+Both stages also have DIRECT (gather-free) variants —
+:func:`payload_detect_direct` and :func:`track_direct` — that read the
+whole [B, W, N] row view of the channel buffer (CSE'd with the coarse
+detector's operand) and select each channel's rows in VMEM via a
+scalar-prefetched dynamic sublane slice, so the gathered intermediates
+never exist in HBM at all.  They route automatically for single-frame
+banks whose geometry fits (payload_direct_pc / track_direct_tc).
+
+All kernels reuse the in-kernel DFT/peak helpers from ops/pallas_detect
 (direct matrix for N <= 256, four-step 128 x n2 factorization above), so
 detector arithmetic is identical to the batched detector's.
 
@@ -150,6 +158,32 @@ def _track_tc(N: int) -> int:
     # barrel-shift roll no longer serializes the cell, but the cap stays
     # until a hardware sweep says wider cells win (TODO: retune on-chip)
     return max(8, min(32, (tc // 8) * 8))
+
+
+def track_direct_tc(N: int, W: int, B: int) -> int | None:
+    """Channels per cell for the DIRECT (gather-free) track kernel, or
+    None when the geometry doesn't fit.
+
+    Like payload_direct_pc, the direct track kernel reads the [B, W, N]
+    row view of the channel buffer itself and selects each channel's
+    TRACK_ROWS scan rows in VMEM with a scalar-prefetched dynamic sublane
+    slice — the [B, TRACK_ROWS, N] gathered intermediate never exists in
+    HBM (saves one full write + read of it, ~1.1 GB at SF10/B=4096).
+
+    Constraints: each channel needs TRACK_ROWS rows inside W, the
+    double-buffered (TC, W, N) input blocks must fit VMEM, TC must be a
+    multiple of 8 (Mosaic needs the (TC, 1) output blocks sublane-aligned)
+    and must divide B exactly (padding the [B, W, N] operand would copy
+    it)."""
+    if W < TRACK_ROWS:
+        return None
+    for tc in (32, 24, 16, 8):
+        # per-cell VMEM: input (TC, W, N) f32 x2 (re/im) x2 (double-
+        # buffered) <= 12 MB, leaving room for the 2*TRACK_ROWS (TC, N)
+        # window scratches under the 40 MB limit
+        if B % tc == 0 and tc * W * N * 16 <= 12 * (1 << 20):
+            return tc
+    return None
 
 
 # --------------------------------------------------------------------------
@@ -589,11 +623,20 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
 # track kernel: sync scan + lookahead + downchirp CFO in one launch
 # --------------------------------------------------------------------------
 
-def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
+def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
+    """W=None: xr/xi blocks are the pre-gathered (TC, R, N) scan rows.
+    W=int: DIRECT variant — the kernel takes a scalar-prefetched row
+    offset vector first and xr/xi blocks are whole-channel (TC, W, N)
+    row views; each channel's R rows are selected in VMEM (the gather
+    never exists in HBM)."""
     NW = N_TRACK_WIN
     R = TRACK_ROWS
 
-    def kernel(shv, xr, xi, cur, cui, cdr, cdi, *rest):
+    def kernel(*a):
+        if W is None:
+            shv, xr, xi, cur, cui, cdr, cdi, *rest = a
+        else:
+            qv, shv, xr, xi, cur, cui, cdr, cdi, *rest = a
         n_scratch = 2 * R
         det_refs = rest[: len(rest) - 6 - n_scratch]
         outs = rest[len(rest) - 6 - n_scratch: len(rest) - n_scratch]
@@ -603,6 +646,21 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
         det = make_det(det_refs)
         cu_r, cu_i = cur[:], cui[:]
         cd_r, cd_i = cdr[:], cdi[:]
+        if W is None:
+            row = lambda k: (xr[:, k, :], xi[:, k, :])
+        else:
+            # per-channel aligned-row selection: a dynamic sublane slice
+            # of the (W, N) channel rows at the scalar-prefetched offset
+            # (same load pattern as _payload_direct_kernel_factory)
+            i = pl.program_id(0)
+            rs_, ri_ = [], []
+            for c in range(TC):
+                d = qv[i * TC + c]
+                rs_.append(xr[c, pl.ds(d, R), :][None])
+                ri_.append(xi[c, pl.ds(d, R), :][None])
+            xrv = jnp.concatenate(rs_, 0) if TC > 1 else rs_[0]
+            xiv = jnp.concatenate(ri_, 0) if TC > 1 else ri_[0]
+            row = lambda k: (xrv[:, k, :], xiv[:, k, :])
 
         # 1. per-channel sub-window alignment roll, vectorized over the
         #    whole channel block: a lane-roll by sh[c] = (N - r[c]) % N is
@@ -615,7 +673,7 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det):
         #    k is the static row-k slice of every channel.
         sh = shv[:]                                    # (TC, 1) int32
         for k in range(R):
-            vr, vi = xr[:, k, :], xi[:, k, :]
+            vr, vi = row(k)
             for b in range(N.bit_length() - 1):        # sh < N
                 amt = 1 << b
                 m = (sh & amt) != 0
@@ -805,3 +863,102 @@ def track(xs, rs, sync: int, thresh: float, interpret: bool = False,
         xsf, rsf, sync >> 4, sync & 0xF, float(thresh), interpret, bf16
     )
     return {k: v.reshape(*lead) for k, v in out.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sync0", "sync1", "thresh", "interpret", "bf16")
+)
+def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
+                  sync1: int, thresh: float, interpret: bool,
+                  bf16: bool = False):
+    """Direct track kernel.  x3: IQ [B, W, N] whole-buffer row view;
+    q: int32 [B] aligned-row offsets (t0 // N); rs = t0 % N.
+    Output-identical to _track_flat(gather_rows(x, q, TRACK_ROWS, N), rs)."""
+    B, W, N = x3.shape
+    R = TRACK_ROWS
+    TC = track_direct_tc(N, W, B)
+    assert TC is not None, (N, W, B)
+    det_specs, det_arrays, make_det = _detect_args(N, bf16)
+    cre, cim = _dechirp_table_np(N, False)
+    dre, dim = _dechirp_table_np(N, True)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    qc = jnp.clip(q.astype(jnp.int32), 0, W - R)  # == gather_rows's clamp
+    shv = ((N - rs.astype(jnp.int32)) % N).reshape(B, 1)
+    in_specs = [
+        pl.BlockSpec((TC, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (TC, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (TC, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        const((1, N)),
+        const((1, N)),
+        const((1, N)),
+        const((1, N)),
+    ] + det_specs
+    out_spec = pl.BlockSpec(
+        (TC, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // TC,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 6,
+        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * R),
+    )
+    kernel = _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W)
+    n_det = 2 * N_SCAN + 2
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * n_det * N * (min(N, 128) + max(1, N // 128)),
+            bytes_accessed=B * W * N * 8 + B * 28,
+            transcendentals=2 * B * n_det * N,
+        ),
+        interpret=interpret,
+    )(qc, shv, x3.re, x3.im,
+      jnp.asarray(cre)[None], jnp.asarray(cim)[None],
+      jnp.asarray(dre)[None], jnp.asarray(dim)[None],
+      *det_arrays)
+    state, k_sync, freq_error, fine_total, power, snr = outs
+    cut = lambda a: a[:, 0]
+    return {
+        "synced": cut(state) == 1,
+        "k_sync": cut(k_sync),
+        "freq_error": cut(freq_error),
+        "fine_total": cut(fine_total),
+        "power": cut(power),
+        "snr": cut(snr),
+    }
+
+
+def track_direct(x3, q, rs, sync: int, thresh: float,
+                 interpret: bool = False, bf16: bool = False):
+    """Gather-free fused tracking stage: whole-buffer row view x3
+    (IQ [B, W, N]), per-channel aligned-row offset q = t0 // N and
+    sub-window shift rs = t0 % N.  Bit-identical to
+    track(gather_rows(x, q, TRACK_ROWS, N), rs, sync, thresh) but the
+    gathered scan rows never exist in HBM; use when
+    track_direct_tc(N, W, B) is not None."""
+    x3 = cplx.as_iq(x3)
+    B, W, N = x3.shape
+    rsb = jnp.broadcast_to(jnp.asarray(rs), (B,))
+    return _track_direct(
+        x3, jnp.asarray(q), rsb, sync >> 4, sync & 0xF, float(thresh),
+        interpret, bf16,
+    )

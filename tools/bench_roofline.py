@@ -145,6 +145,26 @@ def main() -> None:
         B * n_det * win_flops, _timed_chain(step_track, reps),
         B * pd.N_TRACK_WIN * N)
 
+    # ---- direct track kernel (gather-free: reads the [B, W, N] view) ------
+    Wt = pd.TRACK_ROWS + 19
+    if pd.track_direct_tc(N, Wt, B) is not None:
+        xt3 = IQ(r2((B, Wt, N)), r2((B, Wt, N)))
+        qt0 = jnp.asarray(
+            rng.integers(0, Wt - pd.TRACK_ROWS + 1, B), jnp.int32
+        )
+        jax.block_until_ready(xt3)
+
+        def step_track_direct(carry):
+            rs = rs0 if carry is None else carry
+            tr = pd.track_direct(
+                xt3, qt0, rs, cfg.sync, cfg.thresh, interpret=interp
+            )
+            return tr["freq_error"], (rs0 + 0 * tr["k_sync"]) % N
+
+        add("track_direct (gather-free)", B * Wt * N * 8,
+            B * n_det * win_flops, _timed_chain(step_track_direct, reps),
+            B * pd.N_TRACK_WIN * N)
+
     # ---- batched detector (dechirp+DFT+peak, no roll) ---------------------
     W = 64
     xw = IQ(r2((B, W, N)), r2((B, W, N)))

@@ -97,6 +97,33 @@ def build_and_reference(path: str) -> None:
     out["dir_value"] = np.asarray(dref.value)
     out["dir_power"] = np.asarray(dref.power)
 
+    # direct track kernel: same scalar-prefetched sublane-slice pattern,
+    # row offsets covering every sublane alignment; reference = the
+    # gather-fed flat track kernel in interpreter mode (itself pinned to
+    # the XLA scan path by tests/test_pallas_demod.py)
+    Nt, Bt = 1024, 16
+    Rt = pallas_demod.TRACK_ROWS
+    Wt = Rt + 17
+    assert pallas_demod.track_direct_tc(Nt, Wt, Bt) is not None
+    tx = rng.standard_normal((2, Bt, Wt, Nt)).astype(np.float32)
+    tq = np.concatenate(
+        [np.arange(8, dtype=np.int32),
+         rng.integers(0, Wt - Rt + 1, Bt - 8).astype(np.int32)]
+    )
+    trs = rng.integers(0, Nt, Bt).astype(np.int32)
+    tg = shift_ops.gather_rows(
+        cplx.IQ(jnp.asarray(tx[0].reshape(Bt, -1)),
+                jnp.asarray(tx[1].reshape(Bt, -1))),
+        jnp.asarray(tq), Rt, Nt,
+    )
+    tref = pallas_demod.track(
+        tg, jnp.asarray(trs), 0x34, -12.0, interpret=True
+    )
+    out["trk_re"], out["trk_im"] = tx[0], tx[1]
+    out["trk_q"], out["trk_rs"] = tq, trs
+    for k, v in tref.items():
+        out[f"trk_{k}"] = np.asarray(v)
+
     # matmul-FFT windows (the XLA four-step path: the track-scan fallback
     # at N >= 2048 and debug taps); reference = host numpy FFT
     fx = rng.standard_normal((2, 4, 4096)).astype(np.float32)
@@ -197,6 +224,39 @@ def main() -> int:
     p_err = float(np.abs(np.asarray(dpwr) - ref["dir_power"]).max())
     report("payload_direct_kernel", v_eq and p_err < 2e-3,
            values=v_eq, max_power_err=p_err)
+
+    # both track kernels (gather-fed flat + gather-free direct) vs the
+    # interpreter-mode reference from the child
+    Nt, Bt = 1024, 16
+    Rt = pallas_demod.TRACK_ROWS
+    Wt = ref["trk_re"].shape[1]
+    xt3 = cplx.IQ(jnp.asarray(ref["trk_re"]), jnp.asarray(ref["trk_im"]))
+    from lora_tpu.ops import shift as shift_ops
+
+    tg = shift_ops.gather_rows(
+        xt3.reshape(Bt, Wt * Nt), jnp.asarray(ref["trk_q"]), Rt, Nt
+    )
+    for name, tout in (
+        ("track_kernel",
+         pallas_demod.track(tg, jnp.asarray(ref["trk_rs"]), 0x34, -12.0)),
+        ("track_direct_kernel",
+         pallas_demod.track_direct(
+             xt3, jnp.asarray(ref["trk_q"]), jnp.asarray(ref["trk_rs"]),
+             0x34, -12.0)),
+    ):
+        errs = {}
+        okt = True
+        for k, v in tout.items():
+            got, want = np.asarray(v), ref[f"trk_{k}"]
+            if got.dtype.kind in "ib":
+                e_ok = np.array_equal(got, want)
+                errs[k] = bool(e_ok)
+            else:
+                e = float(np.abs(got - want).max())
+                e_ok = e < 2e-3
+                errs[k] = e
+            okt &= bool(e_ok)
+        report(name, okt, **errs)
 
     from lora_tpu.ops import fft as fft_ops
 

@@ -180,6 +180,53 @@ def sweep_payload_direct(N: int, B: int, mtu: int, pcs, bf16=False):
         }), flush=True)
 
 
+def sweep_track_direct(N: int, B: int, tcs, bf16=False):
+    """Channels/cell for the gather-free direct track kernel (same
+    scalar-prefetch + dynamic sublane-slice pattern as payload_direct;
+    the 12 MB input-block budget in track_direct_tc is a guess)."""
+    rng = np.random.default_rng(0)
+    R = pd.TRACK_ROWS
+    W = R + 19
+    r2 = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x3 = IQ(r2((B, W, N)), r2((B, W, N)))
+    q = jnp.asarray(rng.integers(0, W - R + 1, B), jnp.int32)
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    jax.block_until_ready(x3)
+    base = None
+    for tc in tcs:
+        if B % tc or tc % 8 or tc * W * N * 16 > 100 * (1 << 20):
+            continue
+        orig = pd.track_direct_tc
+        pd.track_direct_tc = lambda n, w, b, _tc=tc: _tc
+        try:
+            fresh = jax.jit(
+                pd._track_direct.__wrapped__,
+                static_argnames=(
+                    "sync0", "sync1", "thresh", "interpret", "bf16"
+                ),
+            )
+            s = _timed(
+                lambda a, b_, c: fresh(a, b_, c, 3, 4, -12.0, False, bf16),
+                (x3, q, rs),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"kernel": "track_direct", "N": N, "B": B,
+                              "TC": tc, "bf16": bf16,
+                              "error": repr(e)[:200]}), flush=True)
+            continue
+        finally:
+            pd.track_direct_tc = orig
+        if base is None:
+            base = s
+        gsps = B * (pd.N_SCAN + 4) * N / s / 1e9
+        print(json.dumps({
+            "kernel": "track_direct", "N": N, "B": B, "TC": tc,
+            "bf16": bf16,
+            "ms": round(s * 1e3, 3), "Gsamp/s": round(gsps, 2),
+            "vs_first": round(base / s, 2),
+        }), flush=True)
+
+
 def sweep_channelizer(K: int, T: int, S: int, groups):
     """Group width G for the block-Toeplitz filterbank contraction
     (ops/channelizer.channelize): S wideband streams of T samples."""
@@ -260,6 +307,9 @@ def main():
     for bf16 in (False, True):
         sweep_payload_direct(128, B, 20, (1, 2, 4, 8, 16), bf16)
         sweep_payload_direct(1024, B, 44, (1, 2, 4, 8), bf16)
+    for bf16 in (False, True):
+        sweep_track_direct(128, B, (8, 16, 32, 64), bf16)
+        sweep_track_direct(1024, B, (8, 16, 24, 32), bf16)
     sweep_channelizer(64, 1 << 20, 16 if args.quick else 64,
                       (1, 2, 4, 8, 16, 32, 64))
 
