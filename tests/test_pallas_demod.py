@@ -94,14 +94,19 @@ def test_payload_direct_matches_gather_plus_flat(N, mtu, B, rng):
         )
 
 
-@pytest.mark.parametrize("N,B", [(128, 8), (512, 16)])
-def test_track_direct_matches_gather_plus_track(N, B, rng):
+def test_track_direct_matches_gather_plus_track(rng, monkeypatch):
     """The gather-free direct track kernel (VMEM row selection from the
     whole [B, W, N] buffer view) is bit-identical to gather_rows + the
-    flat track kernel, including at the row-clamp boundary."""
+    flat track kernel, including at the row-clamp boundary.  TC is pinned
+    to 8 so B=16 spans two grid cells (the natural pick would be one);
+    N=128 only — track's detect closure is the same _detect_args closure
+    the payload kernel tests cover at the four-step sizes, and the
+    track-specific logic (rolls, scan, row selection) is N-independent."""
+    N, B = 128, 16
     R = pallas_demod.TRACK_ROWS
     W = R + 7
-    assert pallas_demod.track_direct_tc(N, W, B) is not None
+    assert pallas_demod.track_direct_tc(N, W, B) == 16
+    monkeypatch.setattr(pallas_demod, "track_direct_tc", lambda *a: 8)
     x3 = cplx.IQ(
         jnp.asarray(rng.standard_normal((B, W, N)), jnp.float32),
         jnp.asarray(rng.standard_normal((B, W, N)), jnp.float32),
