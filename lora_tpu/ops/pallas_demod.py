@@ -128,9 +128,13 @@ def payload_direct_pc(N: int, mtu: int, W: int, B: int) -> int | None:
     Constraints: whole-channel rows must fit the flat block budget
     (payload_flat_geometry), each channel needs Rp rows inside W, the
     double-buffered (PC, W, N) input blocks must fit VMEM, and PC must
-    divide B exactly (padding the [B, W, N] operand would copy it)."""
+    divide B exactly (padding the [B, W, N] operand would copy it).
+    Traffic gate: the direct kernel reads all W rows per channel where
+    the gather path moves 3*Rp (gather read + write + kernel read), so
+    the direct route only wins when W <= 3*Rp — long buffers with short
+    payloads keep the gather."""
     rp = 8 * (mtu // 8 + 1)
-    if rp * N > _FLAT_MAX or W < rp + 1:
+    if rp * N > _FLAT_MAX or W < rp + 1 or W > 3 * rp:
         return None
     # per-channel VMEM: input (W, N) f32 x2 (re/im) x2 (double-buffered)
     pc_cap = min(1024 // rp, _FLAT_MAX // (rp * N), (8 << 20) // (W * N * 16))
@@ -174,8 +178,12 @@ def track_direct_tc(N: int, W: int, B: int) -> int | None:
     double-buffered (TC, W, N) input blocks must fit VMEM, TC must be a
     multiple of 8 (Mosaic needs the (TC, 1) output blocks sublane-aligned)
     and must divide B exactly (padding the [B, W, N] operand would copy
-    it)."""
-    if W < TRACK_ROWS:
+    it).  Traffic gate: the direct kernel reads all W rows per channel
+    where the gather path moves 3*TRACK_ROWS (gather read + write +
+    kernel read), so the direct route only wins for short buffers
+    (W <= 3*TRACK_ROWS = 54 rows) — streaming-chunk shapes, not the
+    long payload-sized banks of the headline bench."""
+    if W < TRACK_ROWS or W > 3 * TRACK_ROWS:
         return None
     for tc in (32, 24, 16, 8):
         # per-cell VMEM: input (TC, W, N) f32 x2 (re/im) x2 (double-

@@ -142,7 +142,14 @@ def test_track_direct_tc_geometry():
                     assert tc * W * N * 16 <= 12 * (1 << 20)
     assert pallas_demod.track_direct_tc(128, R - 1, 8) is None   # short view
     assert pallas_demod.track_direct_tc(128, R + 6, 5) is None   # B % 8 != 0
-    assert pallas_demod.track_direct_tc(4096, 40, 4096) is None  # VMEM
+    assert pallas_demod.track_direct_tc(4096, 36, 4096) is None  # VMEM
+    # traffic gate: reading all W rows beats the 3-pass gather only when
+    # W <= 3*TRACK_ROWS (long payload-sized banks keep the gather)
+    assert pallas_demod.track_direct_tc(128, 3 * R, 8) is not None
+    assert pallas_demod.track_direct_tc(128, 3 * R + 1, 8) is None
+    rp = pallas_demod.payload_rows(128, 20)
+    assert pallas_demod.payload_direct_pc(128, 20, 3 * rp, 8) is not None
+    assert pallas_demod.payload_direct_pc(128, 20, 3 * rp + 1, 8) is None
 
 
 def _impaired_bank(cfg, rng, B, payload_bytes=6, noise=0.2, cfo_bins=2.3):
