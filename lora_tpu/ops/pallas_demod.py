@@ -172,7 +172,7 @@ def track_direct_tc(N: int, W: int, B: int) -> int | None:
     row view of the channel buffer itself and selects each channel's
     TRACK_ROWS scan rows in VMEM with a scalar-prefetched dynamic sublane
     slice — the [B, TRACK_ROWS, N] gathered intermediate never exists in
-    HBM (saves one full write + read of it, ~1.1 GB at SF10/B=4096).
+    HBM, and the XLA gather dispatch disappears.
 
     Constraints: each channel needs TRACK_ROWS rows inside W, the
     double-buffered (TC, W, N) input blocks must fit VMEM, TC must be a
