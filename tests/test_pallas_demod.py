@@ -150,6 +150,16 @@ def test_track_direct_tc_geometry():
     rp = pallas_demod.payload_rows(128, 20)
     assert pallas_demod.payload_direct_pc(128, 20, 3 * rp, 8) is not None
     assert pallas_demod.payload_direct_pc(128, 20, 3 * rp + 1, 8) is None
+    # the headline bench shape (lora_tpu/benchmarks.py: SF10, 32-byte
+    # payloads, B=4096) must keep the gather-free payload route — a gate
+    # regression here would silently slow the benchmark
+    bench_cfg = lora_tpu.LoRaConfig(sf=10, cr="4/8", ampl=1.0)
+    bench_cfg = bench_cfg.replace(mtu=bench_cfg.num_symbols(32) + 4)
+    Wb = required_samples(bench_cfg) // bench_cfg.N
+    assert (
+        pallas_demod.payload_direct_pc(bench_cfg.N, bench_cfg.mtu, Wb, 4096)
+        is not None
+    )
 
 
 def _impaired_bank(cfg, rng, B, payload_bytes=6, noise=0.2, cfo_bins=2.3):
