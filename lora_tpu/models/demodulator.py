@@ -413,17 +413,18 @@ def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
             xb, cfg, t0, t_cand, found_pre, T, interpret, bf16
         )
     else:
-        # scan window block: plain XLA gather, one sample-granular slice
-        # per channel
-        def _xs_one(row, t):
-            return cplx.dynamic_slice(row, (t,), (n_rows * cfg.N,)).reshape(
-                n_rows, cfg.N
-            )
-
-        if max_frames == 1:
-            xs = jax.vmap(_xs_one)(xb, t0)
-        else:
-            xs = jax.vmap(jax.vmap(_xs_one, in_axes=(None, 0)))(xb, t0)
+        # scan window block for the XLA path: row-granular gather + sub-N
+        # shift, exactly like the payload stage below (a sample-granular
+        # per-channel slice measured ~60x slower on TPU; this path is the
+        # production route at N >= 2048 — see the dispatch note in
+        # demodulate()).  Bit-identical to slicing x[t0 : t0+n_rows*N]:
+        # _extend_run clips t0 to T - (n_rows+1)*N, so neither the row
+        # clamp nor the old dynamic_slice clamp ever engages.
+        xs = shift_ops.shift_windows(
+            shift_ops.gather_rows(xb, t0 // cfg.N, n_rows + 1, cfg.N),
+            t0 % cfg.N,
+            n_rows,
+        )
         if max_frames == 1:
             head, fine_total = jax.vmap(
                 lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T)
