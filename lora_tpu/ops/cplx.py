@@ -148,12 +148,5 @@ def broadcast_to(a: IQ, shape) -> IQ:
     return IQ(jnp.broadcast_to(a.re, shape), jnp.broadcast_to(a.im, shape))
 
 
-def dynamic_slice(a: IQ, starts, sizes) -> IQ:
-    return IQ(
-        jax.lax.dynamic_slice(a.re, starts, sizes),
-        jax.lax.dynamic_slice(a.im, starts, sizes),
-    )
-
-
 def where(cond, a: IQ, b: IQ) -> IQ:
     return IQ(jnp.where(cond, a.re, b.re), jnp.where(cond, a.im, b.im))
