@@ -167,23 +167,39 @@ def _extend_run(cfg: LoRaConfig, agree, v, first_w, T: int):
 
 
 def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
-    """Stages 2-4 on the aligned window block xs [n_rows, N] (gathered
-    outside the channel vmap on the fast row+shift path): sync scan,
-    downchirp CFO, quarter-chirp correction.  Scalar per candidate."""
+    """Stages 2-4 on aligned window blocks xs [M, n_rows, N], batched over
+    all M candidates at once (channels, or channels x frame slots
+    flattened): sync scan, downchirp CFO, quarter-chirp correction.
+
+    The scan runs OUTSIDE any per-candidate vmap and each step issues one
+    flat [M, 2, N] detect — the step's current window and its lookahead
+    share the carried fine-CFO state, so pairing them halves the
+    sequential launch chain, and the flat batch lets the detect ride the
+    fused batched detector kernel on TPU (ops/pallas_detect; under a
+    per-candidate vmap, pallas_call's batching rule both mis-tiles and
+    loses the flat grid, so the former per-channel formulation was stuck
+    with single-window XLA detects).  This is the production tracking
+    path at N >= 2048, where the fused track kernel is gated off (see
+    demodulate()'s dispatch note).  Per-candidate results are
+    bit-identical to the former vmapped scalar scan."""
     N = cfg.N
+    M = t0.shape[0]
     thresh = jnp.float32(cfg.thresh)
     sync0 = cfg.sync >> 4
     sync1 = cfg.sync & 0xF
 
+    def row_pair(k):
+        # rows [k, k+1] of every candidate: one contiguous 2-row slice
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, k, 2, axis=1), xs
+        )
+
     def sync_step(carry, k):
-        state, ferr, prev_q, k_sync = carry
-        xk = xs[k]
-        dk = det_ops.dechirp_detect(xk, ferr=ferr)
-        squelched = (dk.power - dk.noise) < thresh
-        q = (dk.value + 4) // 8
-        xk1 = xs[k + 1]
-        dk1 = det_ops.dechirp_detect(xk1, ferr=ferr)
-        q1 = (dk1.value + 4) // 8
+        state, ferr, prev_q, k_sync = carry  # each [M]
+        d2 = det_ops.dechirp_detect(row_pair(k), ferr=ferr[:, None])
+        squelched = (d2.power[:, 0] - d2.noise[:, 0]) < thresh
+        q = (d2.value[:, 0] + 4) // 8
+        q1 = (d2.value[:, 1] + 4) // 8
         searching = state == 0
         is_sync = (
             searching
@@ -197,7 +213,7 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
         # fine-CFO integrator on non-sync preamble windows; reset on squelch
         new_ferr = jnp.where(
             searching & ~is_sync & ~squelched,
-            ferr + dk.f_index,
+            ferr + d2.f_index[:, 0],
             jnp.where(searching & squelched, 0.0, ferr),
         )
         # the reference stores _prevValue after *every* window, squelched
@@ -205,25 +221,32 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
         new_prev = jnp.where(searching, q, prev_q)
         return (new_state, new_ferr, new_prev, new_ksync), None
 
-    init = (jnp.int32(0), jnp.float32(0.0), jnp.int32(999), jnp.int32(0))
+    init = (
+        jnp.zeros((M,), jnp.int32),
+        jnp.zeros((M,), jnp.float32),
+        jnp.full((M,), 999, jnp.int32),
+        jnp.zeros((M,), jnp.int32),
+    )
     (state, ferr, _, k_sync), _ = jax.lax.scan(
         sync_step, init, jnp.arange(MAX_SYNC_SEARCH, dtype=jnp.int32)
     )
     found = found_pre & (state == 1)
 
-    # ---- 3. downchirps: coarse CFO ------------------------------------------
+    # ---- 3. downchirps: coarse CFO — per-candidate 2-row gather at
+    # k_sync + 2, then one stacked [M, 2, N] down-chirp detect
     t_dc = t0 + (k_sync + 2) * N
-    x_dc0 = xs[k_sync + 2]
-    x_dc1 = xs[k_sync + 3]
-    ddc0 = det_ops.dechirp_detect(x_dc0, down=True, ferr=ferr)
-    ddc1 = det_ops.dechirp_detect(x_dc1, down=True, ferr=ferr)
+    idx = k_sync[:, None] + jnp.arange(2, 4, dtype=jnp.int32)[None]
+    rows_dc = jax.tree.map(
+        lambda a: jnp.take_along_axis(a, idx[:, :, None], axis=1), xs
+    )
+    ddc = det_ops.dechirp_detect(rows_dc, down=True, ferr=ferr[:, None])
 
     def signed(val):
         return jnp.where(val > N // 2, val - N, val).astype(jnp.int32)
 
-    freq_error = _trunc_half(signed(ddc0.value) + signed(ddc1.value))
-    power = ddc1.power
-    snr = ddc1.power - ddc1.noise
+    freq_error = _trunc_half(signed(ddc.value[:, 0]) + signed(ddc.value[:, 1]))
+    power = ddc.power[:, 1]
+    snr = ddc.power[:, 1] - ddc.noise[:, 1]
 
     # ---- 4. quarter-chirp joint time/frequency correction ------------------
     fine_total = ferr + _trunc_half(freq_error).astype(jnp.float32)
@@ -233,8 +256,8 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
     data_start = jnp.clip(data_start, 0, room).astype(jnp.int32)
 
     head = DemodResult(
-        symbols=jnp.zeros((), jnp.int16),  # filled by _payload_epilogue
-        count=jnp.zeros((), jnp.int32),
+        symbols=jnp.zeros((M,), jnp.int16),  # filled by _payload_epilogue
+        count=jnp.zeros((M,), jnp.int32),
         found=found,
         freq_error=jnp.where(found, freq_error, 0),
         fine_freq=jnp.where(found, fine_total, 0.0),
@@ -426,13 +449,18 @@ def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
             n_rows,
         )
         if max_frames == 1:
-            head, fine_total = jax.vmap(
-                lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T)
-            )(xs, t0, t_cand, found_pre)
+            head, fine_total = _scan_track(xs, cfg, t0, t_cand, found_pre, T)
         else:
-            head, fine_total = jax.vmap(
-                jax.vmap(lambda x_, a, b, c: _scan_track(x_, cfg, a, b, c, T))
-            )(xs, t0, t_cand, found_pre)
+            # flatten the [B, K] candidate grid into one batch for the scan
+            B, K = t0.shape
+            flat = lambda a: a.reshape(B * K, *a.shape[2:])
+            head, fine_total = _scan_track(
+                jax.tree.map(flat, xs), cfg,
+                flat(t0), flat(t_cand), flat(found_pre), T,
+            )
+            unflat = lambda a: a.reshape(B, K, *a.shape[1:])
+            head = jax.tree.map(unflat, head)
+            fine_total = unflat(fine_total)
     return xb, head, fine_total, t0
 
 
