@@ -196,6 +196,26 @@ def main() -> int:
             and np.array_equal(np.asarray(demb.t_sync), ref[f"tsync{sf}"])
         )
         report(f"demod_bf16_decisions_sf{sf}", b_eq)
+        if cfg.N >= 2048:
+            # the XLA-tracking fallback (the production demod route at
+            # N >= 2048 with B > 64 — demodulate()'s dispatch note): the
+            # coarse + payload detects ride the stable batched detector
+            # kernel and the batched sync scan issues one flat [M, 2, N]
+            # pallas detect per step inside lax.scan.  Exercise that
+            # composition on real Mosaic — interpret-mode CPU tests
+            # cannot catch lowering/layout faults in it.
+            demo = api.demodulate(x, cfg, fused="off")
+            o_eq = (
+                np.array_equal(np.asarray(demo.found), ref[f"found{sf}"])
+                and np.array_equal(
+                    np.asarray(demo.symbols)[:, : cfg.num_symbols(16)],
+                    ref[f"symbols{sf}"],
+                )
+                and np.array_equal(
+                    np.asarray(demo.t_sync), ref[f"tsync{sf}"]
+                )
+            )
+            report(f"demod_xla_path_sf{sf}", o_eq)
 
     y, _ = chz.channelize(
         cplx.IQ(jnp.asarray(ref["wide_re"]), jnp.asarray(ref["wide_im"])), 16
