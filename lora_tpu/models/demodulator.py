@@ -557,8 +557,11 @@ def demodulate(
     kernels on TPU backends; "bf16" additionally casts the kernels' DFT
     matmul operands to bfloat16 with f32 accumulation (the v5e MXU's
     native precision — same symbol decisions, dB outputs move < 0.05 dB,
-    ~1.3-2x faster detection stages); "off" forces the XLA reference
-    path; "interpret" / "interpret-bf16" run the fused kernels in
+    ~1.3-2x faster detection stages); "off" disables the fused
+    track/payload kernels (ops/pallas_demod) — the stage structure then
+    follows the XLA reference path, whose individual window detects
+    still ride the stable batched detector kernel (ops/pallas_detect)
+    on TPU; "interpret" / "interpret-bf16" run the fused kernels in
     interpreter mode on any backend (cross-validation in tests).
 
     Dispatch note (hardware bug workaround, bisected live on a v5e): at
