@@ -149,13 +149,34 @@ def _extend_run(cfg: LoRaConfig, agree, v, first_w, T: int):
     sync scan starts at the *tail* of the preamble regardless of preamble
     length (the reference FSM walks the preamble one window at a time,
     LoRaDemod.cpp:179-237; here the scan budget is MAX_SYNC_SEARCH windows
-    from t0)."""
+    from t0).
+
+    The alignment value is the CIRCULAR MEDIAN of v over the run's
+    windows, not the last window's argmax alone: near the SNR threshold a
+    single noise-flipped argmax (+-1 bin) would misalign the whole scan
+    block by one sample, turning every preamble detection into N-1
+    (q = 16 != 0) and blinding the sync gate.  The reference FSM retimes
+    on every window, so one bad argmax is transient there
+    (LoRaDemod.cpp:212-218 consume(N - value)); the batch equivalent of
+    that per-window self-correction is majority voting the run (measured:
+    recovers the FSM's sensitivity margin in
+    tools/bench_sensitivity.py's paired head-to-head)."""
     N = cfg.N
     idx_w = jnp.arange(agree.shape[0], dtype=jnp.int32)
     brk = (idx_w >= first_w) & ~agree
     first_brk = jnp.where(jnp.any(brk), jnp.argmax(brk), agree.shape[0])
     last_w = jnp.maximum(first_brk - 1, first_w).astype(jnp.int32)
-    v_sel = v[last_w + 1]
+    v_ref = v[last_w + 1]
+    idx_v = jnp.arange(v.shape[0], dtype=jnp.int32)
+    in_run = (idx_v >= first_w) & (idx_v <= last_w + 1)
+    # circular deltas relative to v_ref; run windows cluster within a few
+    # bins, so the (N/2)-centered fold is safe
+    delta = jnp.mod(v.astype(jnp.int32) - v_ref + N // 2, N) - N // 2
+    big = jnp.int32(N)  # > any folded delta; sorts after every run value
+    cnt = jnp.sum(in_run).astype(jnp.int32)
+    d_sorted = jnp.sort(jnp.where(in_run, delta, big))
+    d_med = d_sorted[jnp.maximum(cnt - 1, 0) // 2]
+    v_sel = jnp.mod(v_ref + d_med, N)
     n_rows = MAX_SYNC_SEARCH + 4
     t_cand = (last_w * N + ((N - v_sel) % N)).astype(jnp.int32)
     # clamp so the scan block fits entirely (n_rows + 1 aligned rows for
