@@ -266,7 +266,8 @@ def crash_retest(N: int, B: int):
     blocks) — retest before trusting the fallback removal."""
     from lora_tpu import api
     from lora_tpu.config import LoRaConfig
-    from lora_tpu.models.demodulator import demodulate, required_samples
+    from lora_tpu.models import demodulator as dm
+    from lora_tpu.models.demodulator import required_samples
 
     sf = int(np.log2(N))
     cfg = LoRaConfig(sf=sf, cr="4/8", ampl=1.0, mtu=24)
@@ -276,7 +277,12 @@ def crash_retest(N: int, B: int):
     iq = api.modulate(api.encode(payload, cfg), cfg)
     iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
     for trial in range(3):
-        d = demodulate(iq, cfg, fused="bf16" if trial == 2 else "auto")
+        # call the inner program: the public demodulate() rewrites
+        # "auto"/"bf16" to "off" at exactly these shapes (the fallback
+        # under retest), so it would never reach the fused kernels here
+        d = dm._demod_whole(
+            iq, cfg, False, 1, "bf16" if trial == 2 else "auto"
+        )
         found = np.asarray(d.found)
         print(json.dumps({
             "crash_retest": {"N": N, "B": B, "trial": trial,
