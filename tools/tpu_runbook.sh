@@ -25,10 +25,13 @@ if [[ "${1:-}" != "--skip-smoke" ]]; then
   run smoke    1800 python tools/tpu_smoke.py
 fi
 run bench      900 python bench.py
-run crash     1200 python tools/tune_kernels.py --crash-retest
 run tune      2400 python tools/tune_kernels.py --quick
 run stages    1200 python tools/bench_stages.py
 run roofline  1500 python tools/bench_roofline.py
 run scale     1500 python tools/bench_scale.py
 run stream     900 python tools/bench_stream.py --tpu
+run sens      1800 python tools/bench_sensitivity.py --packets 24
+# LAST on purpose: a positive crash reproduction can hard-fault the TPU
+# worker and poison the tunnel for anything after it
+run crash     1200 python tools/tune_kernels.py --crash-retest
 echo "=== runbook done; logs in /tmp/runbook/"
