@@ -15,7 +15,8 @@ __all__ = ["LoRaConfig", "CODING_RATES"]
 
 def __getattr__(name):
     # Lazy top-level API to keep `import lora_tpu` light.
-    if name in ("encode", "decode", "modulate", "demodulate",
+    if name in ("encode", "decode", "decode_soft", "soft_symbols",
+                "modulate", "demodulate",
                 "DecodeResult", "DemodResult", "IQ", "loopback",
                 "required_samples", "extract_payloads"):
         from . import api

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from .config import LoRaConfig
 from .models.encoder import encode
 from .models.decoder import decode, DecodeResult, OK, STATUS_NAMES
+from .models.softdec import decode_soft, soft_symbols
 from .models.modulator import modulate
 from .models.demodulator import demodulate, DemodResult, required_samples
 from .ops import cplx
@@ -27,6 +28,8 @@ __all__ = [
     "IQ",
     "encode",
     "decode",
+    "decode_soft",
+    "soft_symbols",
     "modulate",
     "demodulate",
     "DecodeResult",

@@ -1,0 +1,78 @@
+"""Soft-decision decoding (models/softdec): ML codeword selection from the
+demod spectra.  A beyond-reference capability — the reference decoder is
+hard-decision only (LoRaDecoder.cpp:196-222) — so the contract here is
+(a) byte-exact agreement with the hard path on clean frames across rates,
+whitening, headers and reduced symbol sets, and (b) a strict, pinned
+sensitivity win over hard decoding in the FEC-limited noise regime."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import lora_tpu
+from lora_tpu import api
+from lora_tpu.ops import cplx
+
+
+@pytest.mark.parametrize(
+    "sf,cr,ppm_red",
+    [(7, "4/8", False), (8, "4/7", False), (9, "4/5", False),
+     (7, "4/6", False), (8, "4/8", True)],
+)
+def test_soft_matches_hard_on_clean_frames(sf, cr, ppm_red):
+    cfg = lora_tpu.LoRaConfig(sf=sf, cr=cr, ampl=1.0)
+    if ppm_red:
+        cfg = cfg.replace(ppm=sf - 2)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+    msg = np.frombuffer(b"soft decode test", np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(msg[None]), cfg), cfg)
+    dem = api.demodulate(iq, cfg, debug=True)
+    hard = api.decode(dem.symbols.astype(jnp.int32), cfg)
+    soft = api.decode_soft(dem.fft_mag2, cfg)
+    assert api.extract_payloads(hard)[0] == bytes(msg.tolist())
+    assert api.extract_payloads(soft)[0] == bytes(msg.tolist())
+    np.testing.assert_array_equal(
+        np.asarray(soft.status), np.asarray(hard.status)
+    )
+
+
+def test_soft_beats_hard_in_fec_limited_noise():
+    """Pinned paired comparison (identical noisy bank, fixed seed): in the
+    regime where sync holds but payload symbol errors exceed the 1-bit
+    LUT correction, ML soft decoding must recover strictly more frames.
+    (Measured at this seed: hard 37/48, soft 48/48 at noise 2.6; the
+    assertion leaves slack for cross-platform float drift.)"""
+    sf, P, noise = 8, 48, 2.6
+    cfg = lora_tpu.LoRaConfig(sf=sf, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+    T = lora_tpu.required_samples(cfg)
+    N = cfg.N
+    rng = np.random.default_rng((99, sf, 26))
+    payloads = rng.integers(0, 256, (P, 16), np.uint8)
+    payloads[:, 0] = np.arange(P)
+    delays = rng.integers(0, 2 * N, P)
+    clean = api.modulate(api.encode(jnp.asarray(payloads), cfg), cfg)
+    cre, cim = np.asarray(clean.re), np.asarray(clean.im)
+    L = cre.shape[-1]
+    br = np.zeros((P, T), np.float32)
+    bi = np.zeros((P, T), np.float32)
+    for p in range(P):
+        d = int(delays[p])
+        k = min(L, T - d)
+        br[p, d : d + k] = cre[p, :k]
+        bi[p, d : d + k] = cim[p, :k]
+    br += noise * rng.standard_normal((P, T)).astype(np.float32)
+    bi += noise * rng.standard_normal((P, T)).astype(np.float32)
+    dem = api.demodulate(cplx.IQ(jnp.asarray(br), jnp.asarray(bi)), cfg,
+                         debug=True)
+    hard = api.decode(dem.symbols.astype(jnp.int32), cfg)
+    soft = api.decode_soft(dem.fft_mag2, cfg)
+    fnd = np.asarray(dem.found)
+    hg = api.extract_payloads(hard)
+    sg = api.extract_payloads(soft)
+    h_ok = sum(1 for i in range(P)
+               if fnd[i] and hg[i] == bytes(payloads[i].tolist()))
+    s_ok = sum(1 for i in range(P)
+               if fnd[i] and sg[i] == bytes(payloads[i].tolist()))
+    assert s_ok > h_ok, (s_ok, h_ok)
+    assert s_ok >= int(fnd.sum()) - 2, (s_ok, int(fnd.sum()))

@@ -87,6 +87,9 @@ def main() -> None:
                     help="force the CPU backend (off-box runs)")
     ap.add_argument("--noise", type=float, nargs="+", default=None,
                     help="override the per-SF noise grid")
+    ap.add_argument("--soft", action="store_true",
+                    help="also run the soft-decision decoder "
+                         "(api.decode_soft) on the same banks")
     args = ap.parse_args()
 
     if args.cpu:
@@ -138,13 +141,22 @@ def main() -> None:
             sent = {bytes(p.tolist()) for p in payloads}
 
             # (a) ours: one batched demod + decode
-            dem = api.demodulate(iq, cfg)
+            dem = api.demodulate(iq, cfg, debug=args.soft)
             dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
             got = api.extract_payloads(dec)
+            fnd = np.asarray(dem.found)
             ours = sum(
                 1 for i, g in enumerate(got)
-                if bool(np.asarray(dem.found)[i]) and g == bytes(payloads[i].tolist())
+                if bool(fnd[i]) and g == bytes(payloads[i].tolist())
             )
+            soft = None
+            if args.soft:
+                sdec = api.decode_soft(dem.fft_mag2, cfg)
+                sgot = api.extract_payloads(sdec)
+                soft = sum(
+                    1 for i, g in enumerate(sgot)
+                    if bool(fnd[i]) and g == bytes(payloads[i].tolist())
+                )
 
             # (b) reference FSM: the same bank as one continuous stream
             stream = (bank_re + 1j * bank_im).astype(np.complex64).reshape(-1)
@@ -169,6 +181,9 @@ def main() -> None:
                 "fer_ours": round(1 - ours / P, 4),
                 "fer_ref": round(1 - ref_ok / P, 4),
             }
+            if soft is not None:
+                row["recovered_soft"] = int(soft)
+                row["fer_soft"] = round(1 - soft / P, 4)
             rows.append(row)
             print(json.dumps(row))
 

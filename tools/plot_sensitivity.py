@@ -43,6 +43,10 @@ def main() -> None:
                 label="lora_tpu", linewidth=1.8, markersize=4)
         ax.plot(x, [r["fer_ref"] for r in pts], "s--", color=REF,
                 label="reference FSM", linewidth=1.6, markersize=4)
+        if all("fer_soft" in r for r in pts):
+            ax.plot(x, [r["fer_soft"] for r in pts], "d-", color="#1baf7a",
+                    label="lora_tpu soft-decision", linewidth=1.8,
+                    markersize=4)
         ax.set_facecolor(SURFACE)
         ax.set_title(f"SF{sf} · {pts[0]['cr']} · n={pts[0]['n']}/point",
                      color=TEXT, fontsize=10)
