@@ -17,7 +17,7 @@ from lora_tpu.ops import cplx
 @pytest.mark.parametrize(
     "sf,cr,ppm_red",
     [(7, "4/8", False), (8, "4/7", False), (9, "4/5", False),
-     (7, "4/6", False), (8, "4/8", True)],
+     (7, "4/6", False), (7, "4/4", False), (8, "4/8", True)],
 )
 def test_soft_matches_hard_on_clean_frames(sf, cr, ppm_red):
     cfg = lora_tpu.LoRaConfig(sf=sf, cr=cr, ampl=1.0)
