@@ -486,13 +486,21 @@ def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused")
+    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused",
+                              "spectra")
 )
 def _payload_stage(
     xb: IQ, head: DemodResult, fine_total, t0,
     cfg: LoRaConfig, debug: bool, max_frames: int, fused: str,
+    spectra: bool = False,
 ):
-    """Stage 4 + epilogue: payload gather, detect, symbol emission."""
+    """Stage 4 + epilogue: payload gather, detect, symbol emission.
+
+    spectra=True carries the payload |FFT|^2 windows (fft_mag2) for
+    soft-decision decoding (models/softdec) without the debug taps'
+    raw/dec arrays — the production soft-RX route.  The head stage keeps
+    its fused kernels either way; only the payload detect takes the
+    mag2-carrying XLA path."""
     use_fused, interpret, bf16 = _fused_mode(fused, cfg.N)
     # fast payload gather: whole rows on the N-grid, then the sub-window
     # shift on-chip (sample-granular gathers run ~60x slower on TPU)
@@ -501,7 +509,7 @@ def _payload_stage(
     T = xb.shape[-1]
     W = T // cfg.N
     B = xb.shape[0]
-    if use_fused and not debug:
+    if use_fused and not debug and not spectra:
         direct = (
             max_frames == 1
             and pallas_demod.payload_direct_pc(cfg.N, cfg.mtu, W, B)
@@ -541,6 +549,10 @@ def _payload_stage(
             raw = xd
             dec = det_ops.dechirp(xd, ferr=fine_total[..., None])
             dd = det_ops.detect(dec, want_mag2=True)
+        elif spectra:  # lean soft-RX route: spectra only, no raw/dec taps
+            dd = det_ops.dechirp_detect(
+                xd, ferr=fine_total[..., None], want_mag2=True
+            )
         else:
             dd = det_ops.dechirp_detect(
                 xd, ferr=fine_total[..., None], want_f_index=False
@@ -552,14 +564,14 @@ def _payload_stage(
         res,
         consumed=jnp.where(res.found, res.consumed, t0).astype(jnp.int32),
         dec=dec,
-        fft_mag2=dd.mag2 if debug else None,
+        fft_mag2=dd.mag2 if (debug or spectra) else None,
         raw=raw,
     )
 
 
 def demodulate(
     x: jax.Array, cfg: LoRaConfig, debug: bool = False, max_frames: int = 1,
-    fused: str = "auto",
+    fused: str = "auto", spectra: bool = False,
 ):
     """Demodulate frames out of each channel buffer.
 
@@ -573,6 +585,11 @@ def demodulate(
     (result leaves gain a trailing candidate axis [..., K]; candidates are
     time-ordered, unused slots report found=False).  Memory and payload
     compute scale with K.
+
+    spectra=True additionally carries the payload |FFT|^2 windows in
+    fft_mag2 — the input of the soft-decision decoder (api.decode_soft) —
+    without the raw/dec debug taps.  The tracking stages keep their fused
+    kernels; only the payload detect takes the spectra-carrying path.
 
     fused: "auto" routes the tracking + payload stages to the fused Pallas
     kernels on TPU backends; "bf16" additionally casts the kernels' DFT
@@ -604,19 +621,21 @@ def demodulate(
         and jax.default_backend() == "tpu"
     ):
         fused = "off"
-    res = _demod_whole(xb, cfg, debug, max_frames, fused)
+    res = _demod_whole(xb, cfg, debug, max_frames, fused, spectra)
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)
     return res
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused")
+    jax.jit, static_argnames=("cfg", "debug", "max_frames", "fused",
+                              "spectra")
 )
 def _demod_whole(
-    xb: IQ, cfg: LoRaConfig, debug: bool, max_frames: int, fused: str
+    xb: IQ, cfg: LoRaConfig, debug: bool, max_frames: int, fused: str,
+    spectra: bool = False,
 ):
     xb, head, fine_total, t0 = _head_stage(xb, cfg, max_frames, fused)
     return _payload_stage(
-        xb, head, fine_total, t0, cfg, debug, max_frames, fused
+        xb, head, fine_total, t0, cfg, debug, max_frames, fused, spectra
     )

@@ -36,6 +36,33 @@ def test_soft_matches_hard_on_clean_frames(sf, cr, ppm_red):
     )
 
 
+def test_spectra_mode_is_lean_debug():
+    """demodulate(spectra=True) carries fft_mag2 identical to the debug
+    path but without the raw/dec tap arrays — the production soft-RX
+    route (the tracking stages keep their fused kernels)."""
+    cfg = lora_tpu.LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+    msg = np.frombuffer(b"spectra mode ok!", np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(msg[None]), cfg), cfg)
+    lean = api.demodulate(iq, cfg, spectra=True)
+    dbg = api.demodulate(iq, cfg, debug=True)
+    assert lean.raw is None and lean.dec is None
+    np.testing.assert_array_equal(
+        np.asarray(lean.fft_mag2), np.asarray(dbg.fft_mag2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lean.symbols), np.asarray(dbg.symbols)
+    )
+    soft = api.decode_soft(lean.fft_mag2, cfg)
+    assert api.extract_payloads(soft)[0] == bytes(msg.tolist())
+    # fused (interpret) head stage composes with the spectra payload
+    fus = api.demodulate(iq, cfg, spectra=True, fused="interpret")
+    np.testing.assert_array_equal(
+        np.asarray(fus.symbols), np.asarray(lean.symbols)
+    )
+    assert fus.fft_mag2 is not None
+
+
 def test_soft_beats_hard_in_fec_limited_noise():
     """Pinned paired comparison (identical noisy bank, fixed seed): in the
     regime where sync holds but payload symbol errors exceed the 1-bit
