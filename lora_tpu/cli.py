@@ -53,6 +53,7 @@ def cmd_loopback(args) -> int:
         delay=args.delay,
         seed=args.seed,
         debug=bool(args.dump_spectra),
+        soft=args.soft,
     )
     if args.dump_spectra:
         from .utils.plots import render_taps
@@ -226,6 +227,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--dump-spectra", metavar="PNG",
         help="render the demod raw/dec/fft debug taps to this file",
+    )
+    p.add_argument(
+        "--soft", action="store_true",
+        help="decode with the soft-decision path (ML codewords from the "
+             "demod spectra; ~1.5 dB payload sensitivity over hard)",
     )
     p.set_defaults(fn=cmd_loopback)
 

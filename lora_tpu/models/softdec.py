@@ -27,6 +27,16 @@ Gain: ~1-2 dB of payload sensitivity in the FEC-limited regime (measured
 head-to-head in tools/bench_sensitivity.py --soft; the win over the
 reference demod grows accordingly at SF12 where payload errors, not sync,
 dominate).
+
+Caveat — detection vs correction: ML selection always returns a VALID
+codeword, so the FEC-based drop signals (DROP_HEADER_FEC / DROP_FEC,
+`fec_errors`) cannot fire on the soft path; false-positive rejection
+rests on the payload CRC.  In deep noise a corrupted header can decode
+to crc_present=0 and report a clean status over garbage bytes — the hard
+path has the same avenue (>= 3 header bit errors defeat Hamming(8,4)
+detection too), soft decoding just reaches it at lower SNR.  Deployments
+that ride the soft path below the hard threshold should require
+CRC-bearing frames and treat no-CRC statuses as suspect.
 """
 
 from __future__ import annotations
