@@ -131,20 +131,35 @@ def _ml_codewords(llr: jax.Array, stream: jax.Array, rdd: int) -> jax.Array:
     sgn = (2 * bits - 1).astype(llr.dtype)
     score = jnp.einsum("...nb,nmb->...nm", llr, sgn)
     best = jnp.argmax(score, axis=-1)  # [..., n]
+    top = jnp.max(score, axis=-1)
+    second = jnp.max(
+        jnp.where(
+            jnp.arange(score.shape[-1]) == best[..., None], -jnp.inf, score
+        ),
+        axis=-1,
+    )
+    margin = top - second  # [..., n] ML decision margin per codeword
     slot = jnp.arange(patt.shape[0], dtype=jnp.int32)
-    return patt[slot, best]  # broadcasts slot [n] against best [..., n]
+    return patt[slot, best], margin  # slot [n] broadcasts against best
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_symbols"))
 def soft_symbols(
     mag2: jax.Array, cfg: LoRaConfig, num_symbols: int | None = None
-) -> jax.Array:
-    """FFT spectra [..., S, N] -> FEC-corrected symbol values [..., S'].
+) -> tuple[jax.Array, jax.Array]:
+    """FFT spectra [..., S, N] -> (symbols [..., S'], margin [...]).
 
     S' covers whole interleaver blocks (decode() pads identically).  The
     returned symbols carry the ML-corrected codewords; feeding them to
     models/decoder.decode reproduces the entire reference pipeline
-    (header quirks, CRC, drop taxonomy) on the cleaned stream."""
+    (header quirks, CRC, drop taxonomy) on the cleaned stream.  `margin`
+    is the per-frame confidence: the minimum ML decision margin
+    (best-score minus runner-up) across the FIRST interleaver block's
+    codewords — the header (payload length / CRC flag / rate) plus the
+    first payload nibbles, exactly the fields whose silent corruption the
+    module-docstring caveat warns about.  Later blocks are CRC-covered
+    and excluded so mtu-padding tail slots (score ties of exactly 0)
+    cannot mask the signal."""
     ppm, rdd, sf = cfg.PPM, cfg.rdd, cfg.sf
     if num_symbols is None:
         num_symbols = mag2.shape[-2]
@@ -172,17 +187,18 @@ def soft_symbols(
                 & ((1 << (4 + HEADER_RDD)) - 1),
             ]
         )
-        cw0 = _ml_codewords(l0, s0, HEADER_RDD)
+        cw0, m0 = _ml_codewords(l0, s0, HEADER_RDD)
         lr = _deinterleave_llrs(llr[..., N_HEADER_SYMBOLS:, :], ppm, rdd)
         n_r = lr.shape[-2]
         mode = 1 if rdd == 1 else 0
         sr = jnp.asarray(
             codes.WHITEN_SEQ[mode, ppm - start : ppm - start + n_r]
         ) & ((1 << (4 + rdd)) - 1)
-        cwr = _ml_codewords(lr, sr, rdd)
+        cwr, mr = _ml_codewords(lr, sr, rdd)
         sym0 = codes.interleave(cw0, ppm, HEADER_RDD)
         symr = codes.interleave(cwr, ppm, rdd)
         words = jnp.concatenate([sym0, symr], axis=-1)
+        margin = jnp.min(m0, axis=-1)  # first block: header + first nibbles
     else:
         lcw = _deinterleave_llrs(llr, ppm, rdd)
         n = lcw.shape[-2]
@@ -193,15 +209,19 @@ def soft_symbols(
         stream = jnp.concatenate([jnp.zeros(start, jnp.int32), seq])
         # the header codewords (slots < start) are unwhitened but always
         # Hamming84 == cfg rate here (rdd == HEADER_RDD)
-        cw = _ml_codewords(lcw, stream, rdd)
+        cw, m = _ml_codewords(lcw, stream, rdd)
         words = codes.interleave(cw, ppm, rdd)
-    return (codes.gray_to_binary(words) << (sf - ppm)).astype(jnp.int32)
+        margin = jnp.min(m[..., :ppm], axis=-1)  # first block only
+    syms = (codes.gray_to_binary(words) << (sf - ppm)).astype(jnp.int32)
+    return syms, margin
 
 
 def decode_soft(
     mag2: jax.Array, cfg: LoRaConfig, num_symbols: int | None = None
 ) -> DecodeResult:
-    """Soft-decision decode of demod spectra (demodulate(debug=True)
+    """Soft-decision decode of demod spectra (demodulate(spectra=True)
     .fft_mag2) — ML codeword selection, then the ordinary bit-exact
-    decoder on the corrected stream."""
-    return decode(soft_symbols(mag2, cfg, num_symbols), cfg)
+    decoder on the corrected stream.  Use soft_symbols directly when the
+    per-frame confidence margin is needed."""
+    syms, _ = soft_symbols(mag2, cfg, num_symbols)
+    return decode(syms, cfg)
