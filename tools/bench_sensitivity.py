@@ -141,7 +141,7 @@ def main() -> None:
             sent = {bytes(p.tolist()) for p in payloads}
 
             # (a) ours: one batched demod + decode
-            dem = api.demodulate(iq, cfg, debug=args.soft)
+            dem = api.demodulate(iq, cfg, spectra=args.soft)
             dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
             got = api.extract_payloads(dec)
             fnd = np.asarray(dem.found)
