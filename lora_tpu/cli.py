@@ -172,6 +172,7 @@ def cmd_replay(args) -> int:
         capture_rate=args.capture_rate,
         channel_rate=args.channel_rate,
         channel=args.channel,
+        soft=args.soft,
     )
     for f in frames:
         print(
@@ -182,6 +183,10 @@ def cmd_replay(args) -> int:
                     "cfo_bins": f.freq_error,
                     "status": f.status,
                     "payload": f.payload.hex() if f.payload else None,
+                    **(
+                        {"confidence": round(f.confidence, 1)}
+                        if f.confidence is not None else {}
+                    ),
                 }
             )
         )
@@ -257,6 +262,11 @@ def main(argv=None) -> int:
     p.add_argument("--capture-rate", type=float)
     p.add_argument("--channel-rate", type=float)
     p.add_argument("--channel", type=int, default=0)
+    p.add_argument(
+        "--soft", action="store_true",
+        help="soft-decision decode (recovers weak frames hard decoding "
+             "loses; frames report an ML confidence margin)",
+    )
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("bench", help="run the headline TPU benchmark")

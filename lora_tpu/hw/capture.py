@@ -46,6 +46,7 @@ def replay_file(
     channel_rate: float | None = None,
     channel: int = 0,
     chunk: int = 1 << 22,
+    soft: bool = False,
 ) -> list[Frame]:
     """Decode every frame of a recorded capture file.
 
@@ -66,7 +67,7 @@ def replay_file(
         if abs(ratio - round(ratio)) < 1e-9 and ratio >= 2:
             K = int(round(ratio))
             ratio = 1.0
-    sd = StreamDemodulator(cfg, channels=1)
+    sd = StreamDemodulator(cfg, channels=1, soft=soft)
     state = None
     rstate = None
     frames: list[Frame] = []

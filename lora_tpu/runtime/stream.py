@@ -39,13 +39,15 @@ class Frame:
 
     channel: int
     t_start: int          # global sample index of the preamble start
-    symbols: np.ndarray   # int16 demodulated data symbols (count entries)
+    symbols: np.ndarray   # int16 demodulated data symbols (count entries;
+    #                       soft streams carry the ML-corrected values)
     snr: float
     power: float
     freq_error: int
     payload: Optional[bytes] = None  # set by decode_frames
     status: Optional[int] = None
     data_start: int = 0   # global sample index of the first payload symbol
+    confidence: Optional[float] = None  # soft-mode ML margin (softdec)
 
 
 class _Ring:
@@ -135,10 +137,16 @@ class StreamDemodulator:
         channels: int,
         max_frames: int = 1,
         exact_advance: bool = False,
+        soft: bool = False,
     ):
         self.cfg = cfg
         self.B = channels
         self.max_frames = max_frames  # frames recovered per device step
+        # soft=True: demodulate with spectra and emit ML-corrected symbols
+        # (models/softdec) in each Frame — decode_frames then reproduces
+        # the full soft-decision pipeline; Frame.confidence carries the
+        # first-block ML margin
+        self.soft = soft
         # exact_advance decodes found frames inside step() and advances by
         # the header-announced frame length instead of the mtu-padded
         # symbol count.  The reference FSM always consumes mtu symbols
@@ -184,7 +192,9 @@ class StreamDemodulator:
         W = self.window
         re, im = self._ring.gather(self.offsets, W)
         win = IQ(jnp.asarray(re), jnp.asarray(im))
-        return demodulate(win, self.cfg, max_frames=self.max_frames)
+        return demodulate(
+            win, self.cfg, max_frames=self.max_frames, spectra=self.soft
+        )
 
     def step(self) -> list[Frame]:
         """One device step: demodulate the current window of every channel."""
@@ -206,6 +216,13 @@ class StreamDemodulator:
         consumed = arr(dem.consumed)
         counts = arr(dem.count)
         symbols = np.asarray(dem.symbols).reshape(self.B, K, -1)
+        conf = None
+        if self.soft:
+            from ..models.softdec import soft_symbols
+
+            ssym, smarg = soft_symbols(dem.fft_mag2, self.cfg)
+            symbols = np.asarray(ssym).reshape(self.B, K, -1).astype(np.int16)
+            conf = np.asarray(smarg).reshape(self.B, K)
         snr = arr(dem.snr)
         power = arr(dem.power)
         ferr = arr(dem.freq_error)
@@ -243,6 +260,9 @@ class StreamDemodulator:
                         data_start=int(self.offsets[b])
                         + int(consumed[b, k])
                         - int(counts[b, k]) * N,
+                        confidence=(
+                            float(conf[b, k]) if conf is not None else None
+                        ),
                     )
                 )
                 accepted_end = max(int(consumed[b, k]), accepted_end + 1, 1)

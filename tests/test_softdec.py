@@ -106,3 +106,41 @@ def test_soft_beats_hard_in_fec_limited_noise():
                if fnd[i] and sg[i] == bytes(payloads[i].tolist()))
     assert s_ok > h_ok, (s_ok, h_ok)
     assert s_ok >= int(fnd.sum()) - 2, (s_ok, int(fnd.sum()))
+
+
+def test_stream_soft_recovers_weak_frame():
+    """Streaming runtime soft mode: a weak frame that the hard path syncs
+    but fails to decode is recovered byte-exactly through
+    StreamDemodulator(soft=True), with an ML confidence attached (the
+    cli `replay --soft` path)."""
+    from lora_tpu.runtime.stream import StreamDemodulator, decode_frames
+
+    cfg = lora_tpu.LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(16) + 4)
+    msg = np.frombuffer(b"weak soft frame!", np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(msg[None]), cfg), cfg)
+    T = 3 * lora_tpu.required_samples(cfg)
+    L = iq.shape[-1]
+    rng_seed, noise, d = 9, 2.2, 500
+
+    def run(soft):
+        rng = np.random.default_rng(rng_seed)
+        re = np.zeros((1, T), np.float32)
+        im = np.zeros((1, T), np.float32)
+        re[0, d : d + L] = np.asarray(iq.re)[0]
+        im[0, d : d + L] = np.asarray(iq.im)[0]
+        re += noise * rng.standard_normal((1, T)).astype(np.float32)
+        im += noise * rng.standard_normal((1, T)).astype(np.float32)
+        sd = StreamDemodulator(cfg, channels=1, soft=soft)
+        sd.feed(cplx.IQ(re, im))
+        frames = list(sd.run()) + sd.flush()
+        decode_frames(frames, cfg)
+        return frames
+
+    hard = run(False)
+    soft = run(True)
+    assert len(hard) == 1 and hard[0].payload is None  # synced, decode fails
+    assert hard[0].confidence is None
+    assert len(soft) == 1 and soft[0].payload == bytes(msg.tolist())
+    assert soft[0].confidence is not None and soft[0].confidence > 0
+    assert soft[0].t_start == hard[0].t_start  # same sync, better decode
