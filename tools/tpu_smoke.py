@@ -196,6 +196,14 @@ def main() -> int:
             and np.array_equal(np.asarray(demb.t_sync), ref[f"tsync{sf}"])
         )
         report(f"demod_bf16_decisions_sf{sf}", b_eq)
+        if sf == SF_LIST[0]:
+            # production soft RX on hardware: spectra-mode demod (matmul-
+            # FFT |FFT|^2 carry) + ML soft decode, payload-exact vs the
+            # CPU reference bank
+            dsp = api.demodulate(x, cfg, spectra=True)
+            sdec = api.decode_soft(dsp.fft_mag2, cfg)
+            sp_ok = api.extract_payloads(sdec) == want
+            report(f"demod_soft_payloads_sf{sf}", sp_ok)
         if cfg.N >= 2048:
             # the XLA-tracking fallback (the production demod route at
             # N >= 2048 with B > 64 — demodulate()'s dispatch note): the
