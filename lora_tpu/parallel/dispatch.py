@@ -49,7 +49,10 @@ class ChannelDispatcher:
     group is exactly one jit cache entry.
     """
 
-    def __init__(self, configs: Sequence[LoRaConfig]):
+    def __init__(self, configs: Sequence[LoRaConfig], soft: bool = False):
+        # soft=True decodes every group with the soft-decision path
+        # (models/softdec): spectra-mode demod + ML codewords
+        self.soft = soft
         self.configs = list(configs)
         self.groups: dict[LoRaConfig, list[int]] = {}
         for ch, cfg in enumerate(self.configs):
@@ -87,7 +90,10 @@ class ChannelDispatcher:
                     )
                 bank_re[i, : re.shape[-1]] = re
                 bank_im[i, : im.shape[-1]] = im
-            dem = demodulate(IQ(jnp.asarray(bank_re), jnp.asarray(bank_im)), cfg)
+            dem = demodulate(
+                IQ(jnp.asarray(bank_re), jnp.asarray(bank_im)), cfg,
+                spectra=self.soft,
+            )
             # a frame only counts if its payload fits the buffer — the
             # demodulator's centralized fit check (symbols are truncated
             # garbage when data_start was clamped)
@@ -97,7 +103,12 @@ class ChannelDispatcher:
             snr = np.asarray(dem.snr)
             statuses = payloads = None
             if with_decode:
-                dec = decode(dem.symbols.astype(jnp.int32), cfg)
+                if self.soft:
+                    from ..models.softdec import decode_soft
+
+                    dec = decode_soft(dem.fft_mag2, cfg)
+                else:
+                    dec = decode(dem.symbols.astype(jnp.int32), cfg)
                 statuses = np.asarray(dec.status)
                 data = np.asarray(dec.data)
                 off = np.asarray(dec.offset)

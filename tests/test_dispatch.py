@@ -63,3 +63,40 @@ def test_stream_checkpoint_resume(tmp_path, rng):
     assert len(frames_b) == 1
     assert frames_b[0].payload == bytes(p.tolist())
     assert abs(frames_b[0].t_start - 5000) <= 1
+
+
+def test_dispatcher_soft_mode_recovers_weak_channel():
+    """ChannelDispatcher(soft=True): the soft-decision path threads through
+    per-config group programs — a weak channel the hard path syncs but
+    cannot decode comes back byte-exact, clean channels are unaffected."""
+    import lora_tpu
+    from lora_tpu import api
+    from lora_tpu.parallel.dispatch import ChannelDispatcher
+    from lora_tpu.ops import cplx
+
+    cfgs = [lora_tpu.LoRaConfig(sf=7, cr="4/8", ampl=1.0),
+            lora_tpu.LoRaConfig(sf=8, cr="4/7", ampl=1.0)]
+    cfgs = [c.replace(mtu=c.num_symbols(16) + 4) for c in cfgs]
+    msgs = [b"dispatch soft A!", b"dispatch soft B!"]
+    streams = []
+    rng = np.random.default_rng(9)
+    for cfg, m in zip(cfgs, msgs):
+        iq = api.modulate(
+            api.encode(jnp.asarray(np.frombuffer(m, np.uint8)[None]), cfg),
+            cfg,
+        )
+        T = lora_tpu.required_samples(cfg)
+        re = np.zeros(T, np.float32)
+        im = np.zeros(T, np.float32)
+        k = min(iq.shape[-1], T)
+        re[:k] = np.asarray(iq.re)[0][:k]
+        im[:k] = np.asarray(iq.im)[0][:k]
+        noise = 2.2 if cfg.sf == 7 else 0.1
+        re += noise * rng.standard_normal(T).astype(np.float32)
+        im += noise * rng.standard_normal(T).astype(np.float32)
+        streams.append(cplx.IQ(re, im))
+    hard = ChannelDispatcher(cfgs).run(streams)
+    soft = ChannelDispatcher(cfgs, soft=True).run(streams)
+    assert hard[0].found and hard[0].payload is None  # weak: hard drops it
+    assert soft[0].payload == msgs[0]
+    assert hard[1].payload == msgs[1] and soft[1].payload == msgs[1]
