@@ -14,6 +14,7 @@ import numpy as np
 sys.path.insert(0, ".")
 from lora_tpu.config import LoRaConfig  # noqa: E402
 from lora_tpu.hw.capture import SoapyCapture  # noqa: E402
+from lora_tpu.ops import dcblock  # noqa: E402
 from lora_tpu.ops.cplx import IQ  # noqa: E402
 from lora_tpu.runtime import StreamDemodulator, decode_frames  # noqa: E402
 
@@ -36,13 +37,14 @@ def main() -> int:
     sd = StreamDemodulator(cfg, channels=1)
     print(f"listening on {args.freq/1e6:.3f} MHz, SF{args.sf}, "
           f"sync 0x{args.sync:02x} ... Ctrl-C to stop")
+    dstate = None
     try:
         while True:
             re, im = sdr.record(args.seconds)
-            # DC removal (the topology's dc_removal block)
-            re = re - re.mean()
-            im = im - im.mean()
-            sd.feed(IQ(re[None], im[None]))
+            # DC removal (the topology's dc_removal block): streaming
+            # one-pole blocker, state carried across record() blocks
+            y, dstate = dcblock.dcblock(IQ(re, im), state=dstate)
+            sd.feed(IQ(np.asarray(y.re)[None], np.asarray(y.im)[None]))
             for f in decode_frames(list(sd.run()), cfg):
                 print(f"t={f.t_start} snr={f.snr:.1f} dB cfo={f.freq_error} "
                       f"status={f.status} payload={f.payload!r}")

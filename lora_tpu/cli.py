@@ -173,6 +173,7 @@ def cmd_replay(args) -> int:
         channel_rate=args.channel_rate,
         channel=args.channel,
         soft=args.soft,
+        dc_block=args.dc_block,
     )
     for f in frames:
         print(
@@ -266,6 +267,11 @@ def main(argv=None) -> int:
         "--soft", action="store_true",
         help="soft-decision decode (recovers weak frames hard decoding "
              "loses; frames report an ML confidence margin)",
+    )
+    p.add_argument(
+        "--dc-block", action="store_true",
+        help="one-pole DC blocker before channelizing (zero-IF tuner "
+             "spike removal — the reference topology's dc_removal stage)",
     )
     p.set_defaults(fn=cmd_replay)
 

@@ -47,6 +47,7 @@ def replay_file(
     channel: int = 0,
     chunk: int = 1 << 22,
     soft: bool = False,
+    dc_block: bool = False,
 ) -> list[Frame]:
     """Decode every frame of a recorded capture file.
 
@@ -57,7 +58,13 @@ def replay_file(
     case) with the polyphase fractional resampler.  Both paths carry their
     filter state across chunks, so chunking is seam-free: a frame may
     straddle any number of chunk boundaries.
+
+    dc_block=True high-passes the capture with the streaming one-pole DC
+    blocker before channelizing (the reference RX topology's dc_removal
+    stage, examples/rx_RN2483.pth — zero-IF tuners park a DC spike at
+    band center); its state also carries across chunks.
     """
+    from ..ops import dcblock as dcb
     from ..ops import resample as rs
 
     K = 1
@@ -70,6 +77,7 @@ def replay_file(
     sd = StreamDemodulator(cfg, channels=1, soft=soft)
     state = None
     rstate = None
+    dstate = None
     frames: list[Frame] = []
     itemsize = {"cs8": 1, "cu8": 1, "cs16": 2, "cf32": 4}[fmt]
     with open(path, "rb") as f:
@@ -78,6 +86,9 @@ def replay_file(
             if not raw:
                 break
             re, im = iqio.convert(raw, fmt)
+            if dc_block:
+                y, dstate = dcb.dcblock(IQ(re, im), state=dstate)
+                re, im = np.asarray(y.re), np.asarray(y.im)
             if K > 1:
                 import jax.numpy as jnp
 
