@@ -48,7 +48,16 @@ def _bank(cutoff_num: int, cutoff_den: int, taps: int, beta: float = 8.0) -> np.
 
 
 def _taps_eff(ratio: float) -> int:
-    return int(np.ceil(TAPS * ratio)) if ratio > 1 else TAPS
+    if ratio <= 1:
+        return TAPS
+    t = int(np.ceil(TAPS * ratio))
+    # keep taps EVEN: _bank's prototype center L/2 = NPHASE*taps/2 lands on
+    # an integer multiple of NPHASE only then — with odd taps phase 0 is a
+    # half-sample-shifted doublet instead of a delta (every phase inherits
+    # the skew), which put a systematic fractional-delay ripple on the
+    # 2.048 Msps -> 500 kHz path (33 taps) and broke near-unity ratios
+    # (ratio 1+eps -> 9 taps) outright
+    return t + (t % 2)
 
 
 def _plan(m0: int, M: int, ratio: float, taps: int):

@@ -53,3 +53,23 @@ def time_offset(x, samples: int) -> IQ:
     pad = [(0, 0)] * (x.ndim - 1) + [(samples, 0)]
     out = cplx.pad(x, pad)
     return out[..., : x.shape[-1] + samples]
+
+
+def clock_drift(x, ppm: float) -> IQ:
+    """Sample-clock frequency offset between TX and RX: resample by
+    (1 + ppm*1e-6) through the polyphase fractional resampler, so each
+    received sample lands ppm*1e-6 later (in TX time) than the last.
+
+    Neither side of the reference models this (its loopback shares one
+    clock), but every real radio pair has tens of ppm of combined crystal
+    error; the demodulator's preamble retiming absorbs the accumulated
+    drift up to ~1 sample over a frame (tests/test_loopback.py pins the
+    tolerance)."""
+    from ..ops import resample as rs
+
+    x = cplx.as_iq(x)
+    T = x.shape[-1]
+    ratio = 1.0 + ppm * 1e-6
+    y = rs.resample(x, ratio)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, T - y.shape[-1])]
+    return cplx.pad(y, pad)

@@ -57,6 +57,31 @@ def test_loopback_with_timing_offset(rng):
         assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist())
 
 
+def test_loopback_with_clock_drift(rng):
+    """TX/RX sample-clock offset (sim.channel.clock_drift): +-50 ppm —
+    beyond a worst-case crystal pair — decodes byte-exact at SF7 (the
+    preamble retiming absorbs the accumulated sub-sample drift; neither
+    side of the reference's shared-clock loopback models this)."""
+    from lora_tpu.models.demodulator import demodulate, required_samples
+    from lora_tpu.models.modulator import modulate
+    from lora_tpu.ops import cplx
+    from lora_tpu.sim import channel as ch
+
+    payload = rng.integers(0, 256, size=(1, 16)).astype(np.uint8)
+    cfg = LoRaConfig(sf=7, ampl=1.0)
+    cfg = cfg.replace(mtu=mtu_for(cfg, 16))
+    iq = modulate(api.encode(payload, cfg), cfg)
+    need = -(-(required_samples(cfg) + 300) // 4096) * 4096
+    iq = cplx.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
+    iq = ch.time_offset(iq, 300)[..., :need]
+    for ppm in (-50.0, 50.0):
+        drifted = ch.clock_drift(iq, ppm)
+        dem = demodulate(drifted, cfg)
+        assert bool(np.asarray(dem.found)[0]), f"ppm {ppm}"
+        dec = api.decode(dem.symbols.astype(np.int32), cfg)
+        assert api.extract_payloads(dec)[0] == bytes(payload[0].tolist()), ppm
+
+
 def test_loopback_with_phase_rotation(rng):
     # the simulation topology's /comms/rotate impairment (pi/1.2345)
     payload = rng.integers(0, 256, size=(1, 24)).astype(np.uint8)
