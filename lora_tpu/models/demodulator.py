@@ -97,11 +97,19 @@ def required_samples(cfg: LoRaConfig, search_symbols: int = 4) -> int:
     whole symbol so the [B, W, N] row view the coarse/payload kernels read
     is a free reshape of the buffer (a T % N != 0 buffer would make the
     xb[:, :W*N] slice a real copy — ~2x1.5 GB of HBM traffic at
-    SF10/B=2048)."""
+    SF10/B=2048).
+
+    The row count W = T // N is additionally padded so (W - Rp) % 8 == 0:
+    the gather-free direct payload kernel slices channel rows at 8-aligned
+    sublane offsets only (Mosaic legality, ops/pallas_demod
+    .payload_direct_pc), and this grid lets its clamped slice reach every
+    row the gather path's clamp q <= W - Rp can address."""
     N = cfg.N
     head = cfg.preamble_symbols + 2 + 2 + 1
     rows = max(cfg.mtu + 1, _payload_gather_rows(cfg))
-    return (search_symbols + head + rows + 1) * N
+    w = search_symbols + head + rows + 1
+    w += (-(w - _payload_gather_rows(cfg))) % 8
+    return w * N
 
 
 def _trunc_half(x: jax.Array) -> jax.Array:

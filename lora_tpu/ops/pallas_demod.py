@@ -120,13 +120,20 @@ def payload_direct_pc(N: int, mtu: int, W: int, B: int) -> int | None:
 
     The direct kernel reads the [B, W, N] row view of the channel buffer
     itself (the same array the coarse detector consumes, so XLA CSEs the
-    slice) and selects each channel's Rp aligned rows in VMEM with a
-    scalar-prefetched dynamic sublane slice — the [B, Rp, N] gathered
-    intermediate of the flat kernel never exists in HBM (saves one full
-    write + read of it, ~2.4 GB at SF10/B=2048).
+    slice) and selects each channel's Rp aligned rows in VMEM — the
+    [B, Rp, N] gathered intermediate of the flat kernel never exists in
+    HBM (saves one full write + read of it, ~2.4 GB at SF10/B=2048).
+
+    Mosaic legality (the round-2 hardware regression): a dynamic sublane
+    slice must start at a provably 8-aligned offset, so the kernel slices
+    Rpp = Rp + 8 rows at 8*(q // 8) and absorbs the 0..8-row remainder
+    with a gated static sublane barrel roll.  Reaching the last rows that
+    a clamped q = W - Rp can address therefore requires the buffer's row
+    count to satisfy (W - Rp) % 8 == 0 (required_samples pads to this
+    grid); other W fall back to the gather path.
 
     Constraints: whole-channel rows must fit the flat block budget
-    (payload_flat_geometry), each channel needs Rp rows inside W, the
+    (payload_flat_geometry), each channel needs Rpp rows inside W, the
     double-buffered (PC, W, N) input blocks must fit VMEM, and PC must
     divide B exactly (padding the [B, W, N] operand would copy it).
     Traffic gate: the direct kernel reads all W rows per channel where
@@ -134,10 +141,13 @@ def payload_direct_pc(N: int, mtu: int, W: int, B: int) -> int | None:
     the direct route only wins when W <= 3*Rp — long buffers with short
     payloads keep the gather."""
     rp = 8 * (mtu // 8 + 1)
-    if rp * N > _FLAT_MAX or W < rp + 1 or W > 3 * rp:
+    rpp = rp + 8
+    if rp * N > _FLAT_MAX or W < rpp or W > 3 * rp or (W - rp) % 8 != 0:
         return None
     # per-channel VMEM: input (W, N) f32 x2 (re/im) x2 (double-buffered)
-    pc_cap = min(1024 // rp, _FLAT_MAX // (rp * N), (8 << 20) // (W * N * 16))
+    pc_cap = min(
+        1024 // rpp, _FLAT_MAX // (rpp * N), (8 << 20) // (W * N * 16)
+    )
     if pc_cap < 1:
         return None
     pc = max(d for d in range(1, pc_cap + 1) if B % d == 0)
@@ -164,26 +174,36 @@ def _track_tc(N: int) -> int:
     return max(8, min(32, (tc // 8) * 8))
 
 
+def _track_direct_rpp(W: int) -> int:
+    """Rows the direct track kernel slices per channel: Rpp must cover
+    TRACK_ROWS plus the worst-case 8-alignment remainder (<= 14 rows when
+    W % 8 == 0 and Rpp = 32; <= 6 when W == 24)."""
+    return min(32, W)
+
+
 def track_direct_tc(N: int, W: int, B: int) -> int | None:
     """Channels per cell for the DIRECT (gather-free) track kernel, or
     None when the geometry doesn't fit.
 
     Like payload_direct_pc, the direct track kernel reads the [B, W, N]
     row view of the channel buffer itself and selects each channel's
-    TRACK_ROWS scan rows in VMEM with a scalar-prefetched dynamic sublane
-    slice — the [B, TRACK_ROWS, N] gathered intermediate never exists in
-    HBM, and the XLA gather dispatch disappears.
+    TRACK_ROWS scan rows in VMEM — the [B, TRACK_ROWS, N] gathered
+    intermediate never exists in HBM, and the XLA gather dispatch
+    disappears.  Mosaic legality: the in-VMEM slice starts at the
+    8-aligned offset 8*(q // 8) and a gated static sublane barrel roll
+    absorbs the remainder, which bounds W to multiples of 8 (see
+    payload_direct_pc).
 
-    Constraints: each channel needs TRACK_ROWS rows inside W, the
-    double-buffered (TC, W, N) input blocks must fit VMEM, TC must be a
-    multiple of 8 (Mosaic needs the (TC, 1) output blocks sublane-aligned)
-    and must divide B exactly (padding the [B, W, N] operand would copy
-    it).  Traffic gate: the direct kernel reads all W rows per channel
-    where the gather path moves 3*TRACK_ROWS (gather read + write +
-    kernel read), so the direct route only wins for short buffers
-    (W <= 3*TRACK_ROWS = 54 rows) — streaming-chunk shapes, not the
-    long payload-sized banks of the headline bench."""
-    if W < TRACK_ROWS or W > 3 * TRACK_ROWS:
+    Constraints: each channel needs _track_direct_rpp(W) rows inside W,
+    the double-buffered (TC, W, N) input blocks must fit VMEM, TC must be
+    a multiple of 8 (Mosaic needs the (TC, 1) output blocks
+    sublane-aligned) and must divide B exactly (padding the [B, W, N]
+    operand would copy it).  Traffic gate: the direct kernel reads all W
+    rows per channel where the gather path moves 3*TRACK_ROWS (gather
+    read + write + kernel read), so the direct route only wins for short
+    buffers (W <= 3*TRACK_ROWS = 54 rows) — streaming-chunk shapes, not
+    the long payload-sized banks of the headline bench."""
+    if W < 24 or W > 3 * TRACK_ROWS or W % 8 != 0:
         return None
     for tc in (32, 24, 16, 8):
         # per-cell VMEM: input (TC, W, N) f32 x2 (re/im) x2 (double-
@@ -370,22 +390,40 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
 # intermediate in HBM (see payload_direct_pc)
 # --------------------------------------------------------------------------
 
-def _payload_direct_kernel_factory(N, W, Rp, PC, make_det):
-    M = PC * Rp
+def _remainder_roll(vr, vi, rem, rpp):
+    """Roll the (rpp, N) sliced rows up by rem in [0, 14] so row 0 holds
+    original row rem: Mosaic cannot statically prove an arbitrary
+    scalar-prefetched sublane offset is 8-aligned (the round-2 hardware
+    regression), so the slice starts at the aligned 8*(q // 8) and this
+    gated static barrel roll absorbs the remainder."""
+    for b in (1, 2, 4, 8):
+        mb = ((rem & b) != 0).reshape(1, 1)
+        vr = jnp.where(mb, pltpu.roll(vr, rpp - b, 0), vr)
+        vi = jnp.where(mb, pltpu.roll(vi, rpp - b, 0), vi)
+    return vr, vi
 
-    def kernel(qv, shv, fev, xr, xi, cr, ci, *rest):
+
+def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det):
+    M = PC * Rpp
+
+    def kernel(q8v, remv, shv, fev, xr, xi, cr, ci, *rest):
         det_refs = rest[: len(rest) - 3]
         value, power, noise = rest[len(rest) - 3:]
         det = make_det(det_refs)
         i = pl.program_id(0)
         # per-channel aligned-row selection: a dynamic sublane slice of
-        # the (W, N) channel rows at the scalar-prefetched row offset —
-        # this load IS the gather (never materialized in HBM)
+        # the (W, N) channel rows at the 8-aligned scalar-prefetched
+        # offset, remainder absorbed by the barrel roll — this load IS
+        # the gather (never materialized in HBM)
         rs_, ri_ = [], []
         for c in range(PC):
-            d = qv[i * PC + c]
-            rs_.append(xr[c, pl.ds(d, Rp), :])
-            ri_.append(xi[c, pl.ds(d, Rp), :])
+            d8 = q8v[i * PC + c]
+            rem = remv[i * PC + c]
+            vr_c = xr[c, pl.ds(d8 * 8, Rpp), :]
+            vi_c = xi[c, pl.ds(d8 * 8, Rpp), :]
+            vr_c, vi_c = _remainder_roll(vr_c, vi_c, rem, Rpp)
+            rs_.append(vr_c)
+            ri_.append(vi_c)
         vr = jnp.concatenate(rs_, 0) if PC > 1 else rs_[0]
         vi = jnp.concatenate(ri_, 0) if PC > 1 else ri_[0]
         # from here identical to the flat kernel: per-row lane barrel
@@ -423,61 +461,68 @@ def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
     pc = payload_direct_pc(N, mtu, W, B)
     assert pc is not None, (N, mtu, W, B)
     rp = 8 * (mtu // 8 + 1)
-    M = pc * rp
+    rpp = rp + 8
+    M = pc * rpp
     det_specs, det_arrays, make_det = _detect_args(N, bf16)
     const = lambda shape: pl.BlockSpec(
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     cre, cim = _dechirp_table_np(N, False)
     qc = jnp.clip(q.astype(jnp.int32), 0, W - rp)  # == gather_rows's clamp
-    sh_rows = jnp.repeat((N - rs.astype(jnp.int32)) % N, rp).reshape(-1, 1)
-    fe_rows = jnp.repeat(fe.astype(jnp.float32), rp).reshape(-1, 1)
+    # 8-aligned slice start (pre-divided so the kernel's d8 * 8 is
+    # provably 8-aligned to Mosaic) + the 0..8-row remainder; the clamp
+    # to (W - rpp) // 8 is exact because (W - rp) % 8 == 0 (route gate)
+    q8 = jnp.minimum(qc // 8, (W - rpp) // 8)
+    rem = qc - q8 * 8
+    sh_rows = jnp.repeat((N - rs.astype(jnp.int32)) % N, rpp).reshape(-1, 1)
+    fe_rows = jnp.repeat(fe.astype(jnp.float32), rpp).reshape(-1, 1)
     in_specs = [
-        pl.BlockSpec((M, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((M, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (pc, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+            (pc, W, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (pc, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+            (pc, W, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         const((1, N)),
         const((1, N)),
     ] + det_specs
     out_spec = pl.BlockSpec(
-        (M, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM
+        (M, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B // pc,),
         in_specs=in_specs,
         out_specs=[out_spec] * 3,
     )
-    kernel = _payload_direct_kernel_factory(N, W, rp, pc, make_det)
+    kernel = _payload_direct_kernel_factory(N, W, rpp, pc, make_det)
     value, power, noise = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B * rp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B * rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B * rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * rpp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * 2 * B * rp * N * (min(N, 128) + max(1, N // 128)),
-            bytes_accessed=B * W * N * 8 + B * rp * 12,
-            transcendentals=2 * B * rp * N,
+            flops=4 * 2 * B * rpp * N * (min(N, 128) + max(1, N // 128)),
+            bytes_accessed=B * W * N * 8 + B * rpp * 12,
+            transcendentals=2 * B * rpp * N,
         ),
         interpret=interpret,
-    )(qc,
+    )(q8,
+      rem,
       sh_rows,
       fe_rows,
       x3.re, x3.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       *det_arrays)
-    cut = lambda a: a.reshape(B, rp)[:, :mtu]
+    cut = lambda a: a.reshape(B, rpp)[:, :mtu]
     return cut(value), cut(power), cut(noise)
 
 
@@ -633,10 +678,10 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
 
 def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
     """W=None: xr/xi blocks are the pre-gathered (TC, R, N) scan rows.
-    W=int: DIRECT variant — the kernel takes a scalar-prefetched row
-    offset vector first and xr/xi blocks are whole-channel (TC, W, N)
-    row views; each channel's R rows are selected in VMEM (the gather
-    never exists in HBM)."""
+    W=int: DIRECT variant — the kernel takes scalar-prefetched 8-aligned
+    row offsets (pre-divided by 8) + remainders first and xr/xi blocks
+    are whole-channel (TC, W, N) row views; each channel's R rows are
+    selected in VMEM (the gather never exists in HBM)."""
     NW = N_TRACK_WIN
     R = TRACK_ROWS
 
@@ -644,7 +689,7 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
         if W is None:
             shv, xr, xi, cur, cui, cdr, cdi, *rest = a
         else:
-            qv, shv, xr, xi, cur, cui, cdr, cdi, *rest = a
+            q8v, remv, shv, xr, xi, cur, cui, cdr, cdi, *rest = a
         n_scratch = 2 * R
         det_refs = rest[: len(rest) - 6 - n_scratch]
         outs = rest[len(rest) - 6 - n_scratch: len(rest) - n_scratch]
@@ -658,14 +703,20 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
             row = lambda k: (xr[:, k, :], xi[:, k, :])
         else:
             # per-channel aligned-row selection: a dynamic sublane slice
-            # of the (W, N) channel rows at the scalar-prefetched offset
+            # of the (W, N) channel rows at the 8-aligned scalar-
+            # prefetched offset, remainder absorbed by the barrel roll
             # (same load pattern as _payload_direct_kernel_factory)
+            rpp = _track_direct_rpp(W)
             i = pl.program_id(0)
             rs_, ri_ = [], []
             for c in range(TC):
-                d = qv[i * TC + c]
-                rs_.append(xr[c, pl.ds(d, R), :][None])
-                ri_.append(xi[c, pl.ds(d, R), :][None])
+                d8 = q8v[i * TC + c]
+                rem = remv[i * TC + c]
+                vr_c = xr[c, pl.ds(d8 * 8, rpp), :]
+                vi_c = xi[c, pl.ds(d8 * 8, rpp), :]
+                vr_c, vi_c = _remainder_roll(vr_c, vi_c, rem, rpp)
+                rs_.append(vr_c[None])
+                ri_.append(vi_c[None])
             xrv = jnp.concatenate(rs_, 0) if TC > 1 else rs_[0]
             xiv = jnp.concatenate(ri_, 0) if TC > 1 else ri_[0]
             row = lambda k: (xrv[:, k, :], xiv[:, k, :])
@@ -886,6 +937,7 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
     R = TRACK_ROWS
     TC = track_direct_tc(N, W, B)
     assert TC is not None, (N, W, B)
+    rpp = _track_direct_rpp(W)
     det_specs, det_arrays, make_det = _detect_args(N, bf16)
     cre, cim = _dechirp_table_np(N, False)
     dre, dim = _dechirp_table_np(N, True)
@@ -893,14 +945,18 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     qc = jnp.clip(q.astype(jnp.int32), 0, W - R)  # == gather_rows's clamp
+    # 8-aligned slice start + remainder (see _payload_direct); the clamp
+    # bound (W - rpp) // 8 is exact because W % 8 == 0 (route gate)
+    q8 = jnp.minimum(qc // 8, (W - rpp) // 8)
+    rem = qc - q8 * 8
     shv = ((N - rs.astype(jnp.int32)) % N).reshape(B, 1)
     in_specs = [
-        pl.BlockSpec((TC, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (TC, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+            (TC, W, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (TC, W, N), lambda i, q_: (i, 0, 0), memory_space=pltpu.VMEM
+            (TC, W, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         const((1, N)),
         const((1, N)),
@@ -908,10 +964,10 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
         const((1, N)),
     ] + det_specs
     out_spec = pl.BlockSpec(
-        (TC, 1), lambda i, q_: (i, 0), memory_space=pltpu.VMEM
+        (TC, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B // TC,),
         in_specs=in_specs,
         out_specs=[out_spec] * 6,
@@ -939,7 +995,7 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
             transcendentals=2 * B * n_det * N,
         ),
         interpret=interpret,
-    )(qc, shv, x3.re, x3.im,
+    )(q8, rem, shv, x3.re, x3.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       jnp.asarray(dre)[None], jnp.asarray(dim)[None],
       *det_arrays)

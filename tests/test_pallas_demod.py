@@ -65,9 +65,11 @@ def test_payload_kernel_matches_shift_plus_detect(N, mtu, tiled, rng):
 def test_payload_direct_matches_gather_plus_flat(N, mtu, B, rng):
     """The gather-free direct kernel (VMEM row selection from the whole
     [B, W, N] buffer view) is bit-identical to gather_rows + the flat
-    payload kernel, including at the row-clamp boundary."""
+    payload kernel, including at the row-clamp boundary (where the
+    8-aligned slice start saturates and the remainder roll absorbs up to
+    8 rows)."""
     rp = pallas_demod.payload_rows(N, mtu)
-    W = rp + 9
+    W = rp + 16  # (W - rp) % 8 == 0: the direct route's Mosaic gate
     pc = pallas_demod.payload_direct_pc(N, mtu, W, B)
     assert pc is not None and B % pc == 0
     x3 = cplx.IQ(
@@ -104,7 +106,7 @@ def test_track_direct_matches_gather_plus_track(rng, monkeypatch):
     track-specific logic (rolls, scan, row selection) is N-independent."""
     N, B = 128, 16
     R = pallas_demod.TRACK_ROWS
-    W = R + 7
+    W = 32  # W % 8 == 0: the direct track route's Mosaic gate
     assert pallas_demod.track_direct_tc(N, W, B) == 16
     monkeypatch.setattr(pallas_demod, "track_direct_tc", lambda *a: 8)
     x3 = cplx.IQ(
@@ -130,26 +132,30 @@ def test_track_direct_matches_gather_plus_track(rng, monkeypatch):
 
 def test_track_direct_tc_geometry():
     """TC is always a multiple of 8 dividing B (Mosaic sublane-aligned
-    (TC, 1) output blocks); oversized row views and non-multiple-of-8
+    (TC, 1) output blocks); oversized row views, W not on the 8-row grid
+    (the 8-aligned dynamic-slice legality gate) and non-multiple-of-8
     banks fall back to the gather path (None)."""
     R = pallas_demod.TRACK_ROWS
     for N in (128, 256, 512, 1024):
-        for W in (R, R + 6, R + 30):
+        for W in (24, 32, 40, 48):
             for B in (8, 16, 4096):
                 tc = pallas_demod.track_direct_tc(N, W, B)
                 if tc is not None:
                     assert tc % 8 == 0 and B % tc == 0
                     assert tc * W * N * 16 <= 12 * (1 << 20)
-    assert pallas_demod.track_direct_tc(128, R - 1, 8) is None   # short view
-    assert pallas_demod.track_direct_tc(128, R + 6, 5) is None   # B % 8 != 0
-    assert pallas_demod.track_direct_tc(4096, 36, 4096) is None  # VMEM
+    assert pallas_demod.track_direct_tc(128, 16, 8) is None      # short view
+    assert pallas_demod.track_direct_tc(128, 26, 8) is None      # W % 8 != 0
+    assert pallas_demod.track_direct_tc(128, 24, 5) is None      # B indiv.
+    assert pallas_demod.track_direct_tc(4096, 40, 4096) is None  # VMEM
     # traffic gate: reading all W rows beats the 3-pass gather only when
-    # W <= 3*TRACK_ROWS (long payload-sized banks keep the gather)
-    assert pallas_demod.track_direct_tc(128, 3 * R, 8) is not None
-    assert pallas_demod.track_direct_tc(128, 3 * R + 1, 8) is None
+    # W <= 3*TRACK_ROWS (long payload-sized banks keep the gather);
+    # 48 is the largest W on the 8-row grid under that bound
+    assert pallas_demod.track_direct_tc(128, 48, 8) is not None
+    assert pallas_demod.track_direct_tc(128, 56, 8) is None
     rp = pallas_demod.payload_rows(128, 20)
     assert pallas_demod.payload_direct_pc(128, 20, 3 * rp, 8) is not None
     assert pallas_demod.payload_direct_pc(128, 20, 3 * rp + 1, 8) is None
+    assert pallas_demod.payload_direct_pc(128, 20, rp + 12, 8) is None  # grid
     # the headline bench shape (lora_tpu/benchmarks.py: SF10, 32-byte
     # payloads, B=4096) must keep the gather-free payload route — a gate
     # regression here would silently slow the benchmark

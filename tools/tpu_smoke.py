@@ -74,12 +74,15 @@ def build_and_reference(path: str) -> None:
 
     Nd, mtud, Bd = 1024, 20, 32
     rpd = pallas_demod.payload_rows(Nd, mtud)
-    Wd = rpd + 17
+    Wd = rpd + 24  # (Wd - rpd) % 8 == 0: the direct route's Mosaic gate
     assert pallas_demod.payload_direct_pc(Nd, mtud, Wd, Bd) is not None
     dx = rng.standard_normal((2, Bd, Wd * Nd)).astype(np.float32)
+    # q sweep: every sublane alignment (0..7), the top clamp band where
+    # the 8-aligned slice start saturates (W - rp - 7 .. W - rp), random
     dq = np.concatenate(
         [np.arange(8, dtype=np.int32),
-         rng.integers(0, Wd - rpd + 1, Bd - 8).astype(np.int32)]
+         Wd - rpd - np.arange(8, dtype=np.int32),
+         rng.integers(0, Wd - rpd + 1, Bd - 16).astype(np.int32)]
     )
     drs = rng.integers(0, Nd, Bd).astype(np.int32)
     dfe = (0.4 * rng.standard_normal(Bd)).astype(np.float32)
@@ -103,13 +106,13 @@ def build_and_reference(path: str) -> None:
     # the XLA scan path by tests/test_pallas_demod.py)
     Nt, Bt = 1024, 16
     Rt = pallas_demod.TRACK_ROWS
-    Wt = Rt + 17
+    Wt = 40  # W % 8 == 0: the direct track route's Mosaic gate
     assert pallas_demod.track_direct_tc(Nt, Wt, Bt) is not None
     tx = rng.standard_normal((2, Bt, Wt, Nt)).astype(np.float32)
     tq = np.concatenate(
         [np.arange(8, dtype=np.int32),
-         rng.integers(0, Wt - Rt + 1, Bt - 8).astype(np.int32)]
-    )
+         Wt - Rt - np.arange(8, dtype=np.int32)]
+    ).astype(np.int32)
     trs = rng.integers(0, Nt, Bt).astype(np.int32)
     tg = shift_ops.gather_rows(
         cplx.IQ(jnp.asarray(tx[0].reshape(Bt, -1)),
@@ -237,54 +240,77 @@ def main() -> int:
     report("channelizer_parity", err < 1e-3, max_err=err)
 
     from lora_tpu.ops import pallas_demod
+    from lora_tpu.ops import shift as shift_ops
 
+    # direct (gather-free) payload kernel vs the gather-fed flat kernel ON
+    # THE SAME TPU: this isolates exactly what the direct path changes —
+    # the in-VMEM 8-aligned row selection + remainder roll — and the
+    # contract is BIT-exactness (the detect arithmetic is shared code).
+    # A CPU XLA-FFT reference is the wrong oracle for the noise inputs
+    # here: near-tied noise bins legitimately flip argmax across FFT
+    # algorithms (the end-to-end demod_parity checks above cover
+    # cross-backend decisions on real frames).
     Nd, mtud, Bd = 1024, 20, 32
     Wd = ref["dir_re"].shape[-1] // Nd
+    rpd = pallas_demod.payload_rows(Nd, mtud)
     x3 = cplx.IQ(
         jnp.asarray(ref["dir_re"].reshape(Bd, Wd, Nd)),
         jnp.asarray(ref["dir_im"].reshape(Bd, Wd, Nd)),
     )
-    dval, dpwr, _ = pallas_demod.payload_detect_direct(
+    dg = shift_ops.gather_rows(
+        x3.reshape(Bd, Wd * Nd), jnp.asarray(ref["dir_q"]), rpd, Nd
+    )
+    flat = pallas_demod.payload_detect(
+        dg, jnp.asarray(ref["dir_rs"]), jnp.asarray(ref["dir_fe"]), mtud
+    )
+    direct = pallas_demod.payload_detect_direct(
         x3, jnp.asarray(ref["dir_q"]), jnp.asarray(ref["dir_rs"]),
         jnp.asarray(ref["dir_fe"]), mtud,
     )
-    v_eq = np.array_equal(np.asarray(dval), ref["dir_value"])
-    p_err = float(np.abs(np.asarray(dpwr) - ref["dir_power"]).max())
-    report("payload_direct_kernel", v_eq and p_err < 2e-3,
-           values=v_eq, max_power_err=p_err)
+    eqs = {
+        k: bool(np.array_equal(np.asarray(a), np.asarray(b)))
+        for k, a, b in zip(("value", "power", "noise"), direct, flat)
+    }
+    report("payload_direct_vs_gather_bitexact", all(eqs.values()), **eqs)
+    # ... and the gather-fed flat kernel vs the CPU XLA reference with a
+    # cross-backend dB tolerance (values on noise may tie-flip; power is
+    # the stable scalar)
+    p_err = float(np.abs(np.asarray(flat[1]) - ref["dir_power"]).max())
+    report("payload_kernel_vs_cpu", p_err < 0.05, max_power_err_db=p_err)
 
-    # both track kernels (gather-fed flat + gather-free direct) vs the
-    # interpreter-mode reference from the child
+    # track kernels: gather-free direct vs gather-fed flat on the TPU
+    # (bit-exact contract), flat vs the CPU interpreter reference with
+    # exact int decisions and a 0.05 dB cross-backend tolerance
     Nt, Bt = 1024, 16
     Rt = pallas_demod.TRACK_ROWS
     Wt = ref["trk_re"].shape[1]
     xt3 = cplx.IQ(jnp.asarray(ref["trk_re"]), jnp.asarray(ref["trk_im"]))
-    from lora_tpu.ops import shift as shift_ops
-
     tg = shift_ops.gather_rows(
         xt3.reshape(Bt, Wt * Nt), jnp.asarray(ref["trk_q"]), Rt, Nt
     )
-    for name, tout in (
-        ("track_kernel",
-         pallas_demod.track(tg, jnp.asarray(ref["trk_rs"]), 0x34, -12.0)),
-        ("track_direct_kernel",
-         pallas_demod.track_direct(
-             xt3, jnp.asarray(ref["trk_q"]), jnp.asarray(ref["trk_rs"]),
-             0x34, -12.0)),
-    ):
-        errs = {}
-        okt = True
-        for k, v in tout.items():
-            got, want = np.asarray(v), ref[f"trk_{k}"]
-            if got.dtype.kind in "ib":
-                e_ok = np.array_equal(got, want)
-                errs[k] = bool(e_ok)
-            else:
-                e = float(np.abs(got - want).max())
-                e_ok = e < 2e-3
-                errs[k] = e
-            okt &= bool(e_ok)
-        report(name, okt, **errs)
+    tflat = pallas_demod.track(tg, jnp.asarray(ref["trk_rs"]), 0x34, -12.0)
+    tdirect = pallas_demod.track_direct(
+        xt3, jnp.asarray(ref["trk_q"]), jnp.asarray(ref["trk_rs"]),
+        0x34, -12.0,
+    )
+    eqs = {
+        k: bool(np.array_equal(np.asarray(tdirect[k]), np.asarray(v)))
+        for k, v in tflat.items()
+    }
+    report("track_direct_vs_gather_bitexact", all(eqs.values()), **eqs)
+    errs = {}
+    okt = True
+    for k, v in tflat.items():
+        got, want = np.asarray(v), ref[f"trk_{k}"]
+        if got.dtype.kind in "ib":
+            e_ok = np.array_equal(got, want)
+            errs[k] = bool(e_ok)
+        else:
+            e = float(np.abs(got - want).max())
+            e_ok = e < 0.05
+            errs[k] = e
+        okt &= bool(e_ok)
+    report("track_kernel_vs_cpu", okt, **errs)
 
     from lora_tpu.ops import fft as fft_ops
 
