@@ -44,6 +44,11 @@ DROP_HEADER_RDD = 2   # announced rate > 4/8                 (LoRaDecoder.cpp:29
 DROP_LENGTH = 3       # announced length overflows block     (LoRaDecoder.cpp:313)
 DROP_FEC = 4          # payload FEC error w/ error_check     (LoRaDecoder.cpp:342,363)
 DROP_CRC = 5          # payload CRC mismatch w/ crc_check    (LoRaDecoder.cpp:371,384)
+SOFT_UNVERIFIED = 6   # soft path only: decoded "cleanly" but carries no
+#                       payload CRC and the hard-decision decode disagrees
+#                       — ML selection always emits a valid codeword, so
+#                       FEC drops cannot fire on the soft path
+#                       (models/softdec caveat); this status is the guard
 
 STATUS_NAMES = {
     OK: "ok",
@@ -52,6 +57,7 @@ STATUS_NAMES = {
     DROP_LENGTH: "drop_length",
     DROP_FEC: "drop_fec",
     DROP_CRC: "drop_crc",
+    SOFT_UNVERIFIED: "soft_unverified",
 }
 
 

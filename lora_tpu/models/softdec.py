@@ -225,3 +225,45 @@ def decode_soft(
     per-frame confidence margin is needed."""
     syms, _ = soft_symbols(mag2, cfg, num_symbols)
     return decode(syms, cfg)
+
+
+def guard_soft_status(dec_soft: DecodeResult, dec_hard: DecodeResult):
+    """Default false-positive policy for the soft path (the module
+    docstring's caveat, operationalized): ML selection always returns a
+    valid codeword, so a CRC-less frame whose header was corrupted below
+    the hard threshold can soft-decode "cleanly" over garbage.  A soft OK
+    is therefore only trusted when either (a) the frame carries a payload
+    CRC (which did fire or didn't), or (b) the hard-decision decode of
+    the same frame independently agrees — status OK with identical bytes
+    (i.e. the frame is at/above the hard threshold and soft decoding
+    changed nothing).  Everything else becomes SOFT_UNVERIFIED.
+
+    Returns an int32 status array (host numpy) of dec_soft.status with
+    the policy applied.  Used by StreamDemodulator(soft=True) and
+    ChannelDispatcher(soft=True); callers wanting raw soft statuses can
+    read dec_soft.status directly."""
+    from .decoder import OK, SOFT_UNVERIFIED
+
+    st = np.asarray(dec_soft.status).copy()
+    crc = np.asarray(dec_soft.crc_present)
+    sdata = np.asarray(dec_soft.data)
+    hdata = np.asarray(dec_hard.data)
+    hst = np.asarray(dec_hard.status)
+    soff = np.asarray(dec_soft.offset)
+    slen = np.asarray(dec_soft.length)
+    hoff = np.asarray(dec_hard.offset)
+    hlen = np.asarray(dec_hard.length)
+    suspect = (st == OK) & ~crc
+    for i in np.nonzero(suspect.reshape(-1))[0]:
+        idx = np.unravel_index(i, st.shape)
+        agree = (
+            hst[idx] == OK
+            and hlen[idx] == slen[idx]
+            and np.array_equal(
+                sdata[idx][soff[idx] : soff[idx] + slen[idx]],
+                hdata[idx][hoff[idx] : hoff[idx] + hlen[idx]],
+            )
+        )
+        if not agree:
+            st[idx] = SOFT_UNVERIFIED
+    return st

@@ -104,12 +104,17 @@ class ChannelDispatcher:
             statuses = payloads = None
             if with_decode:
                 if self.soft:
-                    from ..models.softdec import decode_soft
+                    from ..models.softdec import decode_soft, guard_soft_status
 
                     dec = decode_soft(dem.fft_mag2, cfg)
+                    # false-positive guard: a CRC-less soft OK must be
+                    # confirmed by the hard-decision decode, else it is
+                    # reported as SOFT_UNVERIFIED (models/softdec caveat)
+                    dec_hard = decode(dem.symbols.astype(jnp.int32), cfg)
+                    statuses = guard_soft_status(dec, dec_hard)
                 else:
                     dec = decode(dem.symbols.astype(jnp.int32), cfg)
-                statuses = np.asarray(dec.status)
+                    statuses = np.asarray(dec.status)
                 data = np.asarray(dec.data)
                 off = np.asarray(dec.offset)
                 length = np.asarray(dec.length)

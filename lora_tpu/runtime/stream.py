@@ -48,6 +48,9 @@ class Frame:
     status: Optional[int] = None
     data_start: int = 0   # global sample index of the first payload symbol
     confidence: Optional[float] = None  # soft-mode ML margin (softdec)
+    hard_symbols: Optional[np.ndarray] = None  # soft mode: the argmax
+    #                       symbols, kept for the false-positive guard
+    #                       (decode_frames cross-checks CRC-less soft OKs)
 
 
 class _Ring:
@@ -217,9 +220,11 @@ class StreamDemodulator:
         counts = arr(dem.count)
         symbols = np.asarray(dem.symbols).reshape(self.B, K, -1)
         conf = None
+        hard_syms = None
         if self.soft:
             from ..models.softdec import soft_symbols
 
+            hard_syms = symbols
             ssym, smarg = soft_symbols(dem.fft_mag2, self.cfg)
             symbols = np.asarray(ssym).reshape(self.B, K, -1).astype(np.int16)
             conf = np.asarray(smarg).reshape(self.B, K)
@@ -262,6 +267,10 @@ class StreamDemodulator:
                         - int(counts[b, k]) * N,
                         confidence=(
                             float(conf[b, k]) if conf is not None else None
+                        ),
+                        hard_symbols=(
+                            hard_syms[b, k, : counts[b, k]].copy()
+                            if hard_syms is not None else None
                         ),
                     )
                 )
@@ -374,7 +383,12 @@ class StreamDemodulator:
 
 
 def decode_frames(frames: list[Frame], cfg: LoRaConfig) -> list[Frame]:
-    """Batch-decode recovered frames (pads symbol vectors to one length)."""
+    """Batch-decode recovered frames (pads symbol vectors to one length).
+
+    Frames carrying hard_symbols (soft-mode streams) get the
+    false-positive guard: a CRC-less soft OK is reported SOFT_UNVERIFIED
+    unless the hard-decision decode independently agrees
+    (models/softdec.guard_soft_status)."""
     if not frames:
         return frames
     n = max(cfg.num_symbols(1), max(len(f.symbols) for f in frames))
@@ -386,6 +400,19 @@ def decode_frames(frames: list[Frame], cfg: LoRaConfig) -> list[Frame]:
     off = np.asarray(res.offset)
     length = np.asarray(res.length)
     status = np.asarray(res.status)
+    soft_idx = [i for i, f in enumerate(frames) if f.hard_symbols is not None]
+    if soft_idx:
+        from ..models.softdec import guard_soft_status
+
+        hsym = np.zeros((len(frames), n), np.int32)
+        for i in soft_idx:
+            f = frames[i]
+            hsym[i, : len(f.hard_symbols)] = f.hard_symbols
+        hres = decode(jnp.asarray(hsym), cfg)
+        guarded = guard_soft_status(res, hres)
+        mask = np.zeros(len(frames), bool)
+        mask[soft_idx] = True
+        status = np.where(mask, guarded, status)
     for i, f in enumerate(frames):
         f.status = int(status[i])
         if f.status == OK:
