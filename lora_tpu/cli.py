@@ -162,9 +162,25 @@ def cmd_tx(args) -> int:
 
 def cmd_replay(args) -> int:
     """Decode every frame of a capture file (optionally channelized)."""
-    from .hw.capture import replay_file
+    from .hw.capture import burst_bounds, replay_file
+    from .runtime import iqio
 
     cfg = _cfg_from(args, args.length)
+    if getattr(args, "fm_plot", None):
+        # waveform forensics: FM-discriminate the first burst of the
+        # capture (the reference's RN2483Capture.py:80-97 diagnostic)
+        from .utils.plots import render_fm
+
+        itemsize = {"cs8": 1, "cu8": 1, "cs16": 2, "cf32": 4}[args.fmt]
+        with open(args.file, "rb") as f:
+            raw = f.read((1 << 22) * 2 * itemsize)
+        re, im = iqio.convert(raw, args.fmt)
+        a, b = burst_bounds(re, im)
+        if b > a:
+            re, im = re[a:b], im[a:b]
+        render_fm(re, im, args.fm_plot)
+        print(json.dumps({"fm_plot": args.fm_plot,
+                          "burst": [int(a), int(b)]}))
     frames = replay_file(
         args.file,
         args.fmt,
@@ -272,6 +288,11 @@ def main(argv=None) -> int:
         "--dc-block", action="store_true",
         help="one-pole DC blocker before channelizing (zero-IF tuner "
              "spike removal — the reference topology's dc_removal stage)",
+    )
+    p.add_argument(
+        "--fm-plot", metavar="PNG",
+        help="render the FM-discriminated first burst (waveform "
+             "forensics, RN2483Capture.py:80-97) to this file",
     )
     p.set_defaults(fn=cmd_replay)
 

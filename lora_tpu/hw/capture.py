@@ -38,6 +38,27 @@ def burst_bounds(
     return int(hot[0] * window), int((hot[-1] + 1) * window)
 
 
+def fm_discriminate(
+    re: np.ndarray, im: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """FM discriminator: per-sample instantaneous frequency (radians per
+    sample, in [-pi, pi)) and amplitude envelope of a capture.
+
+    The reference's waveform-forensics tool (RN2483Capture.py:80-97 plots
+    the frequency-discriminated burst — this is how the whitening/CRC
+    tables in LoRaCodes.hpp were reverse-engineered: a LoRa chirp shows up
+    as a clean sawtooth whose resets encode the symbol values).  Computed
+    as arg(x[n] * conj(x[n-1])), vectorized; element 0 is 0."""
+    re = np.asarray(re, np.float32)
+    im = np.asarray(im, np.float32)
+    # x[n] * conj(x[n-1]) without materializing complex128
+    pr = re[1:] * re[:-1] + im[1:] * im[:-1]
+    pi_ = im[1:] * re[:-1] - re[1:] * im[:-1]
+    freq = np.concatenate([[0.0], np.arctan2(pi_, pr)]).astype(np.float32)
+    amp = np.hypot(re, im).astype(np.float32)
+    return freq, amp
+
+
 def replay_file(
     path: str,
     fmt: str,

@@ -87,7 +87,14 @@ class RN2483:
 
     # -- operations --------------------------------------------------------------
     def transmit(self, payload: bytes) -> None:
-        """Hex-encode and transmit one frame (RN2483.py:64-67)."""
+        """Hex-encode and transmit one frame (RN2483.py:64-67).
+
+        `mac pause` immediately before every transmit, as the reference
+        does (RN2483.py:65): the MAC's pause expires (~49 days counter,
+        but firmware may also reclaim the radio after idle/rx activity),
+        so pausing only in config() would let a long-idle MAC swallow a
+        later `radio tx` with "busy"."""
+        self.command("mac pause")
         self.expect_ok("radio tx " + payload.hex())
         # radio reports completion asynchronously
         reply = self._ser.readline().decode(errors="replace").strip()

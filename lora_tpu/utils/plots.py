@@ -103,3 +103,51 @@ def render_taps(dem, cfg: LoRaConfig, path: str, channel: int = 0) -> str:
     fig.savefig(path, dpi=150, facecolor=_SURFACE, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def render_fm(re, im, path: str, max_samples: int = 200_000) -> str:
+    """Render the FM-discriminated view of a capture burst: amplitude
+    envelope + instantaneous frequency (hw.capture.fm_discriminate).
+
+    The reference's reverse-engineering diagnostic (RN2483Capture.py:80-97):
+    LoRa chirps appear as a frequency sawtooth whose reset positions read
+    out the symbol values directly — the tool that derived the whitening
+    tables.  Returns `path`."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..hw.capture import fm_discriminate
+
+    re = np.asarray(re).reshape(-1)[:max_samples]
+    im = np.asarray(im).reshape(-1)[:max_samples]
+    freq, amp = fm_discriminate(re, im)
+    # mask frequency where there is no signal (discriminated noise is
+    # uniform in [-pi, pi) and would bury the sawtooth)
+    floor = 4.0 * np.median(amp) + 1e-12
+    fshow = np.where(amp > floor, freq, np.nan)
+
+    fig, axes = plt.subplots(2, 1, figsize=(11, 5), sharex=True)
+    ax = axes[0]
+    ax.plot(amp, color=_S1, linewidth=0.7)
+    ax.set_ylabel("|x|", color=_TEXT, fontsize=9)
+    ax.set_title(
+        "capture burst: amplitude + FM discriminator", color=_TEXT,
+        fontsize=11,
+    )
+    ax = axes[1]
+    ax.plot(fshow, color=_S2, linewidth=0.7)
+    ax.set_ylabel("inst. freq (rad/sample)", color=_TEXT, fontsize=9)
+    ax.set_xlabel("sample", color=_TEXT2, fontsize=9)
+    ax.set_ylim(-np.pi, np.pi)
+    for a in axes:
+        a.set_facecolor(_SURFACE)
+        a.grid(True, color=_GRID, linewidth=0.6)
+        a.tick_params(colors=_TEXT2, labelsize=8)
+        for s in a.spines.values():
+            s.set_color(_GRID)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150, facecolor=_SURFACE, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -110,3 +110,81 @@ def test_burst_bounds():
     a, b = burst_bounds(re, im)
     assert a <= 20000 < 30000 <= b
     assert b - a < 15000
+
+
+def test_fm_discriminator_reads_chirp_sawtooth():
+    """The FM discriminator (the reference's reverse-engineering tool,
+    RN2483Capture.py:80-97) must recover a LoRa chirp's linear frequency
+    ramp: slope 2*pi/N^2 rad/sample^2, one full sweep per symbol."""
+    import jax.numpy as jnp
+
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.hw.capture import fm_discriminate
+    from lora_tpu.ops import chirp
+
+    cfg = LoRaConfig(sf=8, ampl=1.0)
+    N = cfg.N
+    iq, _ = chirp.gen_chirp(jnp.zeros((), jnp.int32), N, ampl=1.0)
+    freq, amp = fm_discriminate(np.asarray(iq.re).ravel(),
+                                np.asarray(iq.im).ravel())
+    # instantaneous frequency inside the symbol is linear with slope
+    # 2*pi/N; check the discrete derivative away from the wrap point
+    d = np.diff(freq[2:])
+    wrap = np.abs(d) > np.pi  # the sawtooth reset
+    assert wrap.sum() <= 1
+    slope = np.median(d[~wrap])
+    assert abs(slope - 2 * np.pi / N**2 * N) < 1e-3  # 2*pi/N per sample
+
+
+def test_render_fm_plot(tmp_path):
+    pytest.importorskip("matplotlib")
+    from lora_tpu.utils.plots import render_fm
+
+    rng = np.random.default_rng(3)
+    re = 0.01 * rng.standard_normal(8192).astype(np.float32)
+    im = 0.01 * rng.standard_normal(8192).astype(np.float32)
+    t = np.arange(2048, dtype=np.float32)
+    re[3000:5048] += np.cos(0.001 * t * t)
+    im[3000:5048] += np.sin(0.001 * t * t)
+    out = render_fm(re, im, str(tmp_path / "fm.png"))
+    assert (tmp_path / "fm.png").stat().st_size > 1000
+
+
+def test_rn2483_mac_pause_per_transmit():
+    """`mac pause` must precede every radio tx (RN2483.py:65), not just
+    config(): a long-idle MAC can reclaim the radio."""
+    from lora_tpu.hw import rn2483 as rn
+
+    class FakeSerial:
+        def __init__(self):
+            self.lines = []
+            self.replies = []
+
+        def write(self, b):
+            cmd = b.decode().strip()
+            self.lines.append(cmd)
+            if cmd == "sys reset":
+                self.replies.append(b"RN2483 1.0.5\r\n")
+            elif cmd == "mac pause":
+                self.replies.append(b"4294967245\r\n")
+            elif cmd.startswith("radio tx"):
+                self.replies.append(b"ok\r\n")
+                self.replies.append(b"radio_tx_ok\r\n")
+            else:
+                self.replies.append(b"ok\r\n")
+
+        def readline(self):
+            return self.replies.pop(0) if self.replies else b""
+
+        def close(self):
+            pass
+
+    radio = rn.RN2483.__new__(rn.RN2483)
+    radio._ser = FakeSerial()
+    radio.transmit(b"\x01\x02")
+    radio.transmit(b"\x03")
+    txs = [i for i, l in enumerate(radio._ser.lines)
+           if l.startswith("radio tx")]
+    assert len(txs) == 2
+    for i in txs:
+        assert radio._ser.lines[i - 1] == "mac pause"
