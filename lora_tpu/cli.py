@@ -181,6 +181,11 @@ def cmd_replay(args) -> int:
         render_fm(re, im, args.fm_plot)
         print(json.dumps({"fm_plot": args.fm_plot,
                           "burst": [int(a), int(b)]}))
+    observer = None
+    if getattr(args, "live", False):
+        from .utils.live import LiveTapView
+
+        observer = LiveTapView(channels=1)
     frames = replay_file(
         args.file,
         args.fmt,
@@ -190,6 +195,7 @@ def cmd_replay(args) -> int:
         channel=args.channel,
         soft=args.soft,
         dc_block=args.dc_block,
+        observer=observer,
     )
     for f in frames:
         print(
@@ -293,6 +299,12 @@ def main(argv=None) -> int:
         "--fm-plot", metavar="PNG",
         help="render the FM-discriminated first burst (waveform "
              "forensics, RN2483Capture.py:80-97) to this file",
+    )
+    p.add_argument(
+        "--live", action="store_true",
+        help="terminal live-tap dashboard while replaying (per-step SNR "
+             "sparkline + frame events — the reference GUI plotters' "
+             "headless analogue)",
     )
     p.set_defaults(fn=cmd_replay)
 

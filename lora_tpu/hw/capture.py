@@ -69,8 +69,13 @@ def replay_file(
     chunk: int = 1 << 22,
     soft: bool = False,
     dc_block: bool = False,
+    observer=None,
 ) -> list[Frame]:
     """Decode every frame of a recorded capture file.
+
+    observer: optional StreamDemodulator step hook (e.g.
+    utils.live.LiveTapView) — the live tap dashboard for watching the
+    replay, the headless analogue of the reference's GUI plotters.
 
     fmt: cs8 | cu8 | cs16 | cf32 (interleaved wire format).
     If capture_rate > channel_rate: an integer ratio channelizes the stream
@@ -95,7 +100,7 @@ def replay_file(
         if abs(ratio - round(ratio)) < 1e-9 and ratio >= 2:
             K = int(round(ratio))
             ratio = 1.0
-    sd = StreamDemodulator(cfg, channels=1, soft=soft)
+    sd = StreamDemodulator(cfg, channels=1, soft=soft, observer=observer)
     state = None
     rstate = None
     dstate = None

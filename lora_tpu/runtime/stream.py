@@ -141,9 +141,17 @@ class StreamDemodulator:
         max_frames: int = 1,
         exact_advance: bool = False,
         soft: bool = False,
+        observer=None,
     ):
         self.cfg = cfg
         self.B = channels
+        # observer(step_dem, frames, offsets): called after every device
+        # step with the step's DemodResult, the frames it emitted and the
+        # per-channel global read pointers — the live-view hook (the
+        # reference wires its demod taps/labels into GUI plotters,
+        # rx_RN2483.pth; see utils/live.LiveTapView for the headless
+        # equivalent).  Must not mutate its arguments.
+        self.observer = observer
         self.max_frames = max_frames  # frames recovered per device step
         # soft=True: demodulate with spectra and emit ML-corrected symbols
         # (models/softdec) in each Frame — decode_frames then reproduces
@@ -293,6 +301,8 @@ class StreamDemodulator:
                 else:
                     advance = self.stride
             self.offsets[b] += advance
+        if self.observer is not None:
+            self.observer(dem, frames, self.offsets.copy())
         if self.exact_advance and frames:
             decode_frames(frames, self.cfg)
             for f in frames:

@@ -1,3 +1,4 @@
 from .sources import TestGen, BlockGen
+from .live import LiveTapView
 
-__all__ = ["TestGen", "BlockGen"]
+__all__ = ["TestGen", "BlockGen", "LiveTapView"]

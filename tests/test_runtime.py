@@ -317,3 +317,48 @@ def test_slab_bank_matches_single_dispatch(rng):
             np.asarray(getattr(whole, name)),
             err_msg=name,
         )
+
+
+def test_live_tap_view_observer():
+    """LiveTapView (the reference GUI plotters' headless analogue) attaches
+    to StreamDemodulator via the observer hook: per-step dashboard carries
+    SNR sparklines and the frame event with symbols/CFO; repaints once per
+    device step."""
+    import io
+
+    from lora_tpu import api
+    from lora_tpu.runtime.stream import StreamDemodulator, decode_frames
+    from lora_tpu.utils.live import LiveTapView
+
+    from lora_tpu.models.demodulator import required_samples
+
+    cfg = LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(8) + 4)
+    msg = np.frombuffer(b"liveview", np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(msg[None]), cfg), cfg)
+    T = 2 * required_samples(cfg)
+    re = np.zeros((2, T), np.float32)
+    im = np.zeros((2, T), np.float32)
+    L = iq.shape[-1]
+    re[0, 100 : 100 + L] = np.asarray(iq.re)[0]
+    im[0, 100 : 100 + L] = np.asarray(iq.im)[0]
+    # channel 1: pure (weak) noise — stays frameless in the dashboard
+    rng = np.random.default_rng(4)
+    re[1] = 0.05 * rng.standard_normal(T).astype(np.float32)
+    im[1] = 0.05 * rng.standard_normal(T).astype(np.float32)
+
+    out = io.StringIO()
+    view = LiveTapView(channels=2, out=out)
+    sd = StreamDemodulator(cfg, channels=2, observer=view)
+    sd.feed(cplx.IQ(re, im))
+    frames = list(sd.run()) + sd.flush()
+    decode_frames(frames, cfg)
+    assert [f.payload for f in frames if f.channel == 0] == [b"liveview"]
+    assert view.steps >= 1 and view.total_frames == len(frames)
+    text = view.render(sd.offsets)
+    assert "frame@100" in text            # channel 0's frame event
+    assert f"frames {len(frames)}" in text
+    assert "sym[" in text
+    lines = text.splitlines()
+    assert len(lines) == 2 + 2            # header x2 + one row per channel
+    assert out.getvalue().count("live taps") == view.steps  # one paint/step
