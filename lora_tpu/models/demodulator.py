@@ -208,8 +208,8 @@ def _scan_track(xs: IQ, cfg: LoRaConfig, t0, t_cand, found_pre, T: int):
     per-candidate vmap, pallas_call's batching rule both mis-tiles and
     loses the flat grid, so the former per-channel formulation was stuck
     with single-window XLA detects).  This is the production tracking
-    path at N >= 2048, where the fused track kernel is gated off (see
-    demodulate()'s dispatch note).  Per-candidate results are
+    path wherever the fused kernels are off (fused="off", non-TPU
+    backends).  Per-candidate results are
     bit-identical to the former vmapped scalar scan."""
     N = cfg.N
     M = t0.shape[0]
@@ -467,9 +467,9 @@ def _head_stage(xb: IQ, cfg: LoRaConfig, max_frames: int, fused: str):
     else:
         # scan window block for the XLA path: row-granular gather + sub-N
         # shift, exactly like the payload stage below (a sample-granular
-        # per-channel slice measured ~60x slower on TPU; this path is the
-        # production route at N >= 2048 — see the dispatch note in
-        # demodulate()).  Bit-identical to slicing x[t0 : t0+n_rows*N]:
+        # per-channel slice measured ~60x slower on TPU; production route
+        # for fused="off" and non-TPU backends).  Bit-identical to
+        # slicing x[t0 : t0+n_rows*N]:
         # _extend_run clips t0 to T - (n_rows+1)*N, so neither the row
         # clamp nor the old dynamic_slice clamp ever engages.
         xs = shift_ops.shift_windows(
@@ -610,25 +610,19 @@ def demodulate(
     on TPU; "interpret" / "interpret-bf16" run the fused kernels in
     interpreter mode on any backend (cross-validation in tests).
 
-    Dispatch note (hardware bug workaround, bisected live on a v5e): at
-    N >= 2048, programs containing the fused Mosaic kernels crash the TPU
-    worker with increasing probability as the channel count grows (first
-    observed crashes between B=96 and B=100; every kernel is stable in
-    isolation and at small B — tools/tpu_smoke.py covers B=16).  On TPU
-    at N >= 2048 with B > 64 channels, "auto" therefore falls back to the
-    XLA reference path (identical outputs, ~2-3x slower tracking stage)
-    until the underlying compiler/runtime fault is fixed.
+    Dispatch note: round 2 gated "auto" to the XLA path at N >= 2048 with
+    B > 64 after probabilistic TPU-worker crashes (bisected live between
+    B=96 and B=100 on a v5e).  The round-3 kernel restructuring (8-aligned
+    sublane slices + remainder barrel rolls, two-vector scalar prefetch)
+    no longer reproduces the fault: `tools/tune_kernels.py --crash-retest`
+    passes 3 trials at each of (N=2048, B in {128, 512, 2048}) and
+    (N=4096, B in {128, 256, 512}) — 18/18 clean on the chip — so the
+    gate is removed and the fused kernels are live at every SF.  If a
+    crash recurs, re-run the retest and re-gate here.
     """
     x = cplx.as_iq(x)
     squeeze = x.ndim == 1
     xb = x if not squeeze else x.reshape(1, -1)
-    if (
-        fused in ("auto", "bf16")
-        and cfg.N >= 2048
-        and xb.shape[0] > 64
-        and jax.default_backend() == "tpu"
-    ):
-        fused = "off"
     res = _demod_whole(xb, cfg, debug, max_frames, fused, spectra)
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)

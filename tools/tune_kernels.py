@@ -260,10 +260,11 @@ def sweep_channelizer(K: int, T: int, S: int, groups):
 
 
 def crash_retest(N: int, B: int):
-    """The round-2 kernels crashed the TPU worker at N >= 2048 & B > ~96
-    (see models/demodulator.demodulate dispatch note).  The kernels have
-    since been restructured (barrel roll, no scalar prefetch, flat payload
-    blocks) — retest before trusting the fallback removal."""
+    """The round-2 kernels crashed the TPU worker at N >= 2048 & B > ~96;
+    the round-3 restructuring (8-aligned sublane slices, remainder barrel
+    rolls) passed 18/18 trials and the dispatch gate was removed
+    (models/demodulator.demodulate dispatch note).  Keep running this
+    retest every runbook: a recurrence means re-gating."""
     from lora_tpu import api
     from lora_tpu.config import LoRaConfig
     from lora_tpu.models import demodulator as dm
@@ -277,9 +278,8 @@ def crash_retest(N: int, B: int):
     iq = api.modulate(api.encode(payload, cfg), cfg)
     iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
     for trial in range(3):
-        # call the inner program: the public demodulate() rewrites
-        # "auto"/"bf16" to "off" at exactly these shapes (the fallback
-        # under retest), so it would never reach the fused kernels here
+        # call the inner program directly so the retest stays meaningful
+        # even if the dispatch gate is ever reinstated
         d = dm._demod_whole(
             iq, cfg, False, 1, "bf16" if trial == 2 else "auto"
         )
@@ -299,7 +299,8 @@ def main():
     args = ap.parse_args()
 
     if args.crash_retest:
-        for N, B in ((2048, 128), (2048, 512), (4096, 128), (4096, 256)):
+        for N, B in ((2048, 128), (2048, 512), (4096, 128),
+                     (4096, 256), (2048, 2048), (4096, 512)):
             crash_retest(N, B)
         return
 
