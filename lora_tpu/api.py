@@ -60,19 +60,25 @@ def extract_payloads(result: DecodeResult) -> list[bytes | None]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "cfg", "taps_per_phase", "max_frames")
+    jax.jit,
+    static_argnames=("K", "cfg", "taps_per_phase", "max_frames", "fused"),
 )
-def _channelize_demod_step(wb, K, cfg, taps_per_phase, max_frames, state):
+def _channelize_demod_step(
+    wb, K, cfg, taps_per_phase, max_frames, state, fused="auto"
+):
     """One fused XLA program: polyphase filterbank + IDFT corner + the
     whole K-channel demod bank — a single device dispatch per wideband
     block (round 1 dispatched the channelizer's eager ops separately,
     which dominated at small blocks — VERDICT r1 weak #4)."""
     from .ops import channelizer as chz
 
-    y, new_state = chz.channelize(wb, K, taps_per_phase, state=state)
+    y, new_state = chz.channelize(
+        wb, K, taps_per_phase, state=state,
+        bf16=fused in ("bf16", "interpret-bf16"),
+    )
     Bw, _, M = y.shape
     bank = y.reshape(Bw * K, M)
-    dem = demodulate(bank, cfg, max_frames=max_frames)
+    dem = demodulate(bank, cfg, max_frames=max_frames, fused=fused)
     return dem, new_state
 
 
@@ -83,11 +89,16 @@ def channelized_demodulate(
     taps_per_phase: int = 8,
     max_frames: int = 1,
     state=None,
+    fused: str = "auto",
 ):
     """Wideband front-end: polyphase-channelize [..., T] at rate K*BW into
     K channels and demodulate every channel in one program (BASELINE.json
     config 3).  Returns (DemodResult with leading [..., K] axes,
     channelizer state for streaming continuity).
+
+    fused: demodulate()'s dispatch mode; "bf16" additionally runs the
+    channelizer's filterbank contraction in bfloat16 with f32
+    accumulation (ops/channelizer.channelize(bf16=True)).
     """
     from .ops import channelizer as chz
 
@@ -97,7 +108,7 @@ def channelized_demodulate(
     if state is None:  # concrete zero state keeps the jit signature stable
         state = cplx.zeros((*wb.shape[:-1], taps_per_phase * K - 1))
     dem, new_state = _channelize_demod_step(
-        wb, K, cfg, taps_per_phase, max_frames, state
+        wb, K, cfg, taps_per_phase, max_frames, state, fused
     )
     Bw = wb.shape[0]
     lead = (K,) if squeeze else (Bw, K)

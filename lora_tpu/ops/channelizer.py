@@ -86,6 +86,7 @@ def channelize(
     taps_per_phase: int = 8,
     state: IQ | None = None,
     group: int | None = None,
+    bf16: bool = False,
 ) -> tuple[IQ, IQ]:
     """Split wideband IQ [..., T] (T % K == 0) into K channels.
 
@@ -95,6 +96,10 @@ def channelize(
                  the next block (streaming continuity; pass as `state`)
 
     With state=None the filter history starts at zero (first block).
+    bf16=True runs the filterbank contraction in bfloat16 with f32
+    accumulation (the v5e MXU's native precision; channel outputs move
+    ~1e-2 relative — decision-safe for the demod, validated in
+    tools/bench_scale.py before it reports the bf16 number).
     """
     x = cplx.as_iq(x)
     T = x.shape[-1]
@@ -152,7 +157,7 @@ def channelize(
 
     Z = IQ(zb(Xrev.re), zb(Xrev.im))
     wbr, wbi = _fir_idft_matrix(K, taps_per_phase, G)
-    y = cplx.matmul(Z, IQ(jnp.asarray(wbr), jnp.asarray(wbi)))
+    y = cplx.matmul(Z, IQ(jnp.asarray(wbr), jnp.asarray(wbi)), bf16=bf16)
     y = y.reshape(*x.shape[:-1], M, K)
     # [..., M, K] -> [..., K, M]
     y = IQ(jnp.swapaxes(y.re, -1, -2), jnp.swapaxes(y.im, -1, -2))

@@ -111,12 +111,26 @@ def from_turns(turns, ampl=1.0) -> IQ:
     return IQ(jnp.cos(ang) * ampl, jnp.sin(ang) * ampl)
 
 
-def matmul(a: IQ, b: IQ, precision=jax.lax.Precision.HIGHEST) -> IQ:
-    """Complex matmul as 4 real matmuls (MXU-friendly)."""
-    rr = jnp.matmul(a.re, b.re, precision=precision)
-    ii = jnp.matmul(a.im, b.im, precision=precision)
-    ri = jnp.matmul(a.re, b.im, precision=precision)
-    ir = jnp.matmul(a.im, b.re, precision=precision)
+def matmul(
+    a: IQ, b: IQ, precision=jax.lax.Precision.HIGHEST, bf16: bool = False
+) -> IQ:
+    """Complex matmul as 4 real matmuls (MXU-friendly).
+
+    bf16=True casts the contraction operands to bfloat16 with float32
+    accumulation — the v5e MXU's native precision (~2x the f32 rate);
+    results carry ~3 decimal digits, fine for symbol-decision paths."""
+    if bf16:
+        a = IQ(a.re.astype(jnp.bfloat16), a.im.astype(jnp.bfloat16))
+        b = IQ(b.re.astype(jnp.bfloat16), b.im.astype(jnp.bfloat16))
+        mm = lambda x, y: jnp.matmul(
+            x, y, preferred_element_type=jnp.float32
+        )
+    else:
+        mm = lambda x, y: jnp.matmul(x, y, precision=precision)
+    rr = mm(a.re, b.re)
+    ii = mm(a.im, b.im)
+    ri = mm(a.re, b.im)
+    ir = mm(a.im, b.re)
     return IQ(rr - ii, ri + ir)
 
 

@@ -56,12 +56,50 @@ def main() -> None:
     for S in (16, 64) if on_tpu else (2,):
         wide = IQ(r2((S, T)), r2((S, T)))
         jax.block_until_ready(wide)
-        dem, _ = api.channelized_demodulate(wide, K, cfg7)  # compile
+        dem, _ = api.channelized_demodulate(wide, K, cfg7)  # compile f32
         np.asarray(dem.found)
+        # bf16 MXU mode (filterbank contraction + demod DFTs): use it for
+        # the timed loop only when a REAL-frame wideband (one LoRa frame
+        # upconverted onto several channels) decodes byte-exactly in both
+        # modes — noise-bank argmax ties are not a meaningful comparison
+        mode = "auto"
+        if on_tpu and S == 16:
+            from lora_tpu.ops import channelizer as chz
+
+            chans = [3, 31, 60]
+            pays = {c: rng.integers(0, 256, 6).astype(np.uint8)
+                    for c in chans}
+            wv = None
+            for c, p in pays.items():
+                nb = api.modulate(
+                    api.encode(jnp.asarray(p[None]), cfg7), cfg7
+                )[0]
+                d = 24 * (c % 8)  # small stagger: the frame must
+                # still fit the demod window's payload-room bound
+                nb = cplx.pad(nb, ((d, need - nb.shape[-1] - d),))
+                up = chz.upconvert(nb, K, c)
+                wv = up if wv is None else IQ(wv.re + up.re, wv.im + up.im)
+            Tv = (wv.shape[-1] // K) * K
+            wv = wv[..., :Tv]
+            ok = True
+            for m in ("auto", "bf16"):
+                dv, _ = api.channelized_demodulate(wv, K, cfg7, fused=m)
+                dcv = api.decode(dv.symbols.astype(jnp.int32), cfg7)
+                got = api.extract_payloads(dcv)
+                fnd = np.asarray(dv.found)
+                ok &= all(
+                    fnd[c] and got[c] == bytes(pays[c].tolist())
+                    for c in chans
+                )
+            print(f"config-3 bf16 validation (frames on {chans}): "
+                  f"{'byte-exact both modes' if ok else 'MISMATCH'}")
+            globals()["_BF16_OK"] = ok
+        if on_tpu and globals().get("_BF16_OK"):
+            mode = "bf16"
         iters = 8 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(iters):
-            dem, _ = api.channelized_demodulate(wide, K, cfg7)
+            dem, _ = api.channelized_demodulate(wide, K, cfg7, fused=mode)
             np.asarray(dem.found)
         dt = time.perf_counter() - t0
         rate = S * T * iters / dt / 1e6
@@ -69,7 +107,7 @@ def main() -> None:
         print(
             f"config-3  S={S:3d} x K={K} = {S*K:5d} channels: "
             f"{rate:8.1f} M wide-samp/s = {rt:6.1f}x real time "
-            f"[{dt/iters*1e3:.1f} ms/dispatch]"
+            f"[{dt/iters*1e3:.1f} ms/dispatch, {mode}]"
         )
 
     # ---- config-5: 10k-channel slabbed bank ------------------------------
