@@ -96,6 +96,9 @@ def main() -> None:
             globals()["_BF16_OK"] = ok
         if on_tpu and globals().get("_BF16_OK"):
             mode = "bf16"
+        if mode != "auto":  # warm the timed program (compile out of loop)
+            dem, _ = api.channelized_demodulate(wide, K, cfg7, fused=mode)
+            np.asarray(dem.found)
         iters = 8 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(iters):

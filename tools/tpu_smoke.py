@@ -1,5 +1,15 @@
 """Hardware smoke test: cross-backend parity on the real TPU.
 
+THE HARDWARE GATE (round-2 lesson): no kernel, geometry, or dispatch-route
+change lands without this script green on the chip.  Interpret mode proves
+value semantics only — Mosaic legality (layouts, sublane alignment,
+lowering) can only fail on real hardware, and round 2 shipped a compile-
+broken default route by skipping exactly this run.  The runbook
+(tools/tpu_runbook.sh) runs it first and every dispatch branch is covered:
+direct + gather-fed payload/track kernels, the batched detector, the
+multi-frame route, spectra (soft-RX) mode, bf16 decisions, the XLA
+tracking fallback, channelizer, and the matmul FFT.
+
 The pytest suite runs on the virtual CPU mesh; this script validates the
 TPU-specific code paths (Pallas detector/shift kernels, planar transfers)
 against the CPU reference path on identical inputs.  Because backend
@@ -58,6 +68,37 @@ def build_and_reference(path: str) -> None:
         # precision-dependent across backends
         out[f"symbols{sf}"] = np.asarray(dem.symbols)[:, : cfg.num_symbols(16)]
         out[f"tsync{sf}"] = np.asarray(dem.t_sync)
+
+    # multi-frame dispatch branch (max_frames=2 routes the gather-fed
+    # fused kernels): two frames per buffer with a gap
+    cfgm = LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    cfgm = cfgm.replace(mtu=cfgm.num_symbols(8) + 2)
+    Bm = 8
+    Tm = 3 * required_samples(cfgm)
+    pm = rng.integers(0, 256, (2 * Bm, 8), dtype=np.uint8)
+    fiq = api.modulate(api.encode(jnp.asarray(pm), cfgm), cfgm)
+    fre, fim = np.asarray(fiq.re), np.asarray(fiq.im)
+    Lm = fre.shape[-1]
+    mre = np.zeros((Bm, Tm), np.float32)
+    mim = np.zeros((Bm, Tm), np.float32)
+    for b in range(Bm):
+        d0 = 64 * b
+        d1 = d0 + Lm + 512
+        mre[b, d0 : d0 + Lm] = fre[2 * b]
+        mim[b, d0 : d0 + Lm] = fim[2 * b]
+        mre[b, d1 : d1 + Lm] = fre[2 * b + 1]
+        mim[b, d1 : d1 + Lm] = fim[2 * b + 1]
+    mre += 0.15 * rng.standard_normal((Bm, Tm)).astype(np.float32)
+    mim += 0.15 * rng.standard_normal((Bm, Tm)).astype(np.float32)
+    dmm = api.demodulate(
+        cplx.IQ(jnp.asarray(mre), jnp.asarray(mim)), cfgm, max_frames=2
+    )
+    out["mf_re"], out["mf_im"] = mre, mim
+    out["mf_found"] = np.asarray(dmm.found)
+    out["mf_tsync"] = np.asarray(dmm.t_sync)
+    out["mf_symbols"] = np.asarray(dmm.symbols)[
+        :, :, : cfgm.num_symbols(8)
+    ]
 
     K, M = 16, 256
     wide = rng.standard_normal((2, 2, K * M)).astype(np.float32)
@@ -227,6 +268,24 @@ def main() -> int:
                 )
             )
             report(f"demod_xla_path_sf{sf}", o_eq)
+
+    # multi-frame dispatch branch on real Mosaic (gather-fed fused route)
+    cfgm = LoRaConfig(sf=7, cr="4/7", ampl=1.0)
+    cfgm = cfgm.replace(mtu=cfgm.num_symbols(8) + 2)
+    dmm = api.demodulate(
+        cplx.IQ(jnp.asarray(ref["mf_re"]), jnp.asarray(ref["mf_im"])),
+        cfgm, max_frames=2,
+    )
+    mf_ok = (
+        np.array_equal(np.asarray(dmm.found), ref["mf_found"])
+        and np.array_equal(np.asarray(dmm.t_sync), ref["mf_tsync"])
+        and np.array_equal(
+            np.asarray(dmm.symbols)[:, :, : cfgm.num_symbols(8)],
+            ref["mf_symbols"],
+        )
+    )
+    report("demod_multiframe_parity", mf_ok,
+           frames=int(ref["mf_found"].sum()))
 
     y, _ = chz.channelize(
         cplx.IQ(jnp.asarray(ref["wide_re"]), jnp.asarray(ref["wide_im"])), 16
