@@ -86,9 +86,13 @@ def main() -> None:
     payload = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     iq = api.modulate(api.encode(payload, cfg), cfg)
     iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
+    # noise generated ON DEVICE: host-side standard_normal((B, T)) x2 was
+    # ~2.6 GB shipped over the ~32 MB/s dev tunnel (~80 s of the driver's
+    # bench window) for data whose only job is to be Gaussian
+    kr, ki = jax.random.split(jax.random.PRNGKey(0))
     iq = cplx.IQ(
-        iq.re + jnp.asarray(0.1 * rng.standard_normal((B, T)), jnp.float32),
-        iq.im + jnp.asarray(0.1 * rng.standard_normal((B, T)), jnp.float32),
+        iq.re + 0.1 * jax.random.normal(kr, (B, T), jnp.float32),
+        iq.im + 0.1 * jax.random.normal(ki, (B, T), jnp.float32),
     )
     jax.block_until_ready(iq)
 

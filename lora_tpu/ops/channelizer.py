@@ -87,6 +87,7 @@ def channelize(
     state: IQ | None = None,
     group: int | None = None,
     bf16: bool = False,
+    impl: str = "auto",
 ) -> tuple[IQ, IQ]:
     """Split wideband IQ [..., T] (T % K == 0) into K channels.
 
@@ -100,6 +101,11 @@ def channelize(
     accumulation (the v5e MXU's native precision; channel outputs move
     ~1e-2 relative — decision-safe for the demod, validated in
     tools/bench_scale.py before it reports the bf16 number).
+
+    impl: "auto" routes the filterbank to the fused Pallas kernel
+    (ops/pallas_channelize) on TPU when the geometry fits, else the XLA
+    matmul pipeline; "pallas" / "pallas-interpret" force the kernel
+    (compiled / interpreter), "xla" forces the matmul pipeline.
     """
     x = cplx.as_iq(x)
     T = x.shape[-1]
@@ -113,6 +119,24 @@ def channelize(
     new_state = xp[..., -hist:]
 
     M = T // K
+    if impl != "xla":
+        from . import pallas_channelize as pc
+
+        fits = pc.kernel_geometry(K, taps_per_phase) is not None
+        want = impl in ("pallas", "pallas-interpret") or (
+            impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if fits and want:
+            y = pc.filterbank(
+                xp, K, taps_per_phase, M,
+                interpret=impl == "pallas-interpret", bf16=bf16,
+            )
+            y = IQ(jnp.swapaxes(y.re, -1, -2), jnp.swapaxes(y.im, -1, -2))
+            return y, new_state
+        if impl in ("pallas", "pallas-interpret"):
+            raise ValueError(
+                f"no fused filterbank geometry for K={K}, L={taps_per_phase}"
+            )
     # flipped commutator: Xrev[r, p] = xp[rK + (K-1-p)] = x[rK - p - hist_adj]
     rows = M + L - 1
     Xc = xp[..., : rows * K].reshape(*x.shape[:-1], rows, K)

@@ -1,0 +1,218 @@
+"""Fused polyphase-filterbank Pallas TPU kernel (the config-3 front-end).
+
+The XLA channelizer (ops/channelizer.py) is already one block-Toeplitz
+contraction, but its operand pipeline costs three HBM materializations per
+block: the flipped commutator Xrev (a lane-reversed reshape), the grouped
+matmul operand Z (a pad + multi-piece lane concat), and the [.., M, K] ->
+[.., K, M] output transpose.  Round-2/3 roofline runs measured the whole
+stage at ~0.5-1 Gsamp/s — bound by those data movements, not the matmul
+(the MXU ran at <1 TFLOP/s).
+
+This kernel removes the operand pipeline entirely with one observation:
+fold the commutator's per-block lane flip INTO the constant filterbank
+matrix.  With
+
+    WB'[r*K + p, j*K + k] = WB[r*K + (K-1-p), j*K + k]
+
+(WB = ops/channelizer._fir_idft_matrix), the matmul operand becomes
+
+    Z'[q, :] = xp[q*G*K : q*G*K + R*K]          (R = L + G - 1)
+
+— a CONTIGUOUS window of the raw input stream with stride G*K.  Windows
+at stride G*K overlapping by (L-1)*K <= G*K are two sublane-adjacent rows
+of the contiguous (nseg, G*K) reshape, so each grid cell:
+
+  1. loads a (TQ, SEG) block of the reshaped input plus one lookahead row
+     (SEG = G*K),
+  2. forms the shifted view z1 = rows 1..TQ through a VMEM scratch
+     (static sublane slices, the proven pattern of ops/pallas_demod),
+  3. computes y = z0 @ W1 + z1 @ W2 as complex MXU matmuls, where
+     W1 = WB'[:SEG] and W2 is WB'[SEG:R*K] zero-padded to SEG rows —
+     no lane concat, no gather, no flip,
+  4. writes the (TQ, SEG) output block, which reshapes (outside, for
+     free) to [.., M, K] channel-minor samples.
+
+Per block the kernel reads the input once and writes the output once; the
+only remaining HBM pass outside it is the [.., M, K] -> [.., K, M] corner
+turn into the demod bank's channel-major layout.
+
+Numerics: identical contraction graph to cplx.matmul up to f32 summation
+order (the zero rows of W2 contribute exact zeros); parity with the XLA
+path is asserted to ~1e-5 relative in tests/test_pallas_channelize.py and
+on hardware in tools/tpu_smoke.py.  bf16=True casts the MXU operands to
+bfloat16 with f32 accumulation (same contract as channelize(bf16=True)).
+
+Reference scope: the reference is single-channel (SURVEY.md §2.2); the
+channelizer is the TPU build's wideband front-end (BASELINE.json config 3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import cplx
+from .cplx import IQ
+from .channelizer import _fir_idft_matrix
+from .pallas_detect import _mxu_dot
+
+# widest matmul block: SEG = G*K lanes; 1024 keeps the four (SEG, SEG)
+# filter constants at <= 16 MB of VMEM
+_MAX_SEG = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_geometry(K: int, taps_per_phase: int) -> tuple[int, int] | None:
+    """(G, SEG) for the fused filterbank kernel, or None when the geometry
+    doesn't fit: the two-row window trick needs (L-1)*K <= SEG (one
+    lookahead row covers the overlap) and SEG % 128 == 0 (lane-aligned
+    MXU blocks) with SEG <= _MAX_SEG."""
+    L = taps_per_phase
+    G = max(512 // K, L - 1, 1)
+    seg = G * K
+    if seg % 128 or seg > _MAX_SEG or (L - 1) * K > seg:
+        return None
+    return G, seg
+
+
+@functools.lru_cache(maxsize=None)
+def _wb_flipped(K: int, taps_per_phase: int, G: int):
+    """(W1re, W1im, W2re, W2im) numpy [SEG, SEG]: the flip-folded
+    filterbank matrix split into the z0/z1 row blocks (W2 zero-padded)."""
+    wbr, wbi = _fir_idft_matrix(K, taps_per_phase, G)
+    R = taps_per_phase + G - 1
+    seg = G * K
+    idx = np.arange(R * K).reshape(R, K)[:, ::-1].reshape(-1)
+    wbr, wbi = wbr[idx], wbi[idx]
+    w2r = np.zeros((seg, seg), np.float32)
+    w2i = np.zeros((seg, seg), np.float32)
+    w2r[: R * K - seg] = wbr[seg:]
+    w2i[: R * K - seg] = wbi[seg:]
+    return wbr[:seg].copy(), wbi[:seg].copy(), w2r, w2i
+
+
+def _fb_kernel_factory(TQ, SEG, bf16):
+    if bf16:
+        dot = _mxu_dot(True)
+    else:
+        # explicit HIGHEST: the MXU's DEFAULT f32 matmul is a single bf16
+        # pass (~1e-3 relative), but f32 mode must match the XLA path's
+        # cplx.matmul(precision=HIGHEST) — channel outputs feed the demod's
+        # dB-domain squelch, where a silent precision drop is a behavioral
+        # change, not just noise
+        dot = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def kernel(ar, ai, nr, ni, w1r, w1i, w2r, w2i, outr, outi, sr, si):
+        sr[0:TQ, :] = ar[:]
+        si[0:TQ, :] = ai[:]
+        sr[TQ : TQ + 8, :] = nr[:]
+        si[TQ : TQ + 8, :] = ni[:]
+        z0r, z0i = ar[:], ai[:]
+        z1r = sr[1 : TQ + 1, :]
+        z1i = si[1 : TQ + 1, :]
+        yr = (
+            dot(z0r, w1r[:]) - dot(z0i, w1i[:])
+            + dot(z1r, w2r[:]) - dot(z1i, w2i[:])
+        )
+        yi = (
+            dot(z0r, w1i[:]) + dot(z0i, w1r[:])
+            + dot(z1r, w2i[:]) + dot(z1i, w2r[:])
+        )
+        outr[:] = yr
+        outi[:] = yi
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "taps_per_phase", "M", "interpret", "bf16")
+)
+def _filterbank(xp: IQ, K: int, taps_per_phase: int, M: int,
+                interpret: bool, bf16: bool):
+    """xp: IQ [S, P] state-prepended wideband blocks (P >= (M+L-1)*K) ->
+    y IQ [S, M, K] channelized samples, channel-minor.
+
+    Layout note: blocks are strictly 2-D — the per-stream segment rows are
+    flattened to (S * nsegp, SEG) with nsegp a multiple of TQ, so every
+    stream starts on a block boundary and the index maps stay integral.
+    (3-D blocks with a leading singleton work on Mosaic but run the Pallas
+    interpreter orders of magnitude slower, which the CPU test tier pays.)"""
+    S, P = xp.shape
+    L = taps_per_phase
+    G, SEG = kernel_geometry(K, taps_per_phase)
+    Q = -(-M // G)
+    TQ = next(t for t in (256, 128, 64, 32, 16, 8) if t <= max(Q, 8))
+    Qp = -(-Q // TQ) * TQ
+    nsegp = Qp + TQ  # >= Qp + 8 lookahead rows; stream stride stays
+    # TQ-aligned so each (s, i) block is whole-block addressable
+    need = nsegp * SEG
+    if P < need:
+        xp = cplx.pad(xp, ((0, 0), (0, need - P)))
+    x2 = xp[:, :need].reshape(S * nsegp, SEG)
+    w1r, w1i, w2r, w2i = _wb_flipped(K, taps_per_phase, G)
+    nb = nsegp // TQ
+    blk = lambda s, i: (s * nb + i, 0)
+    nxt = lambda s, i: ((s * nsegp + (i + 1) * TQ) // 8, 0)
+    ob = Qp // TQ
+    out_blk = lambda s, i: (s * ob + i, 0)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((TQ, SEG), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TQ, SEG), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, SEG), nxt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, SEG), nxt, memory_space=pltpu.VMEM),
+        const((SEG, SEG)),
+        const((SEG, SEG)),
+        const((SEG, SEG)),
+        const((SEG, SEG)),
+    ]
+    out_spec = pl.BlockSpec((TQ, SEG), out_blk, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(S, Qp // TQ),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 2,
+        scratch_shapes=[pltpu.VMEM((TQ + 8, SEG), jnp.float32)] * 2,
+    )
+    yr, yi = pl.pallas_call(
+        _fb_kernel_factory(TQ, SEG, bf16),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S * Qp, SEG), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * 2 * S * Qp * SEG * SEG,
+            bytes_accessed=S * nsegp * SEG * 8 + S * Qp * SEG * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2.re, x2.im, x2.re, x2.im, jnp.asarray(w1r), jnp.asarray(w1i),
+      jnp.asarray(w2r), jnp.asarray(w2i))
+    cut = lambda a: a.reshape(S, Qp * G, K)[:, :M]
+    return IQ(cut(yr), cut(yi))
+
+
+def filterbank(xp, K: int, taps_per_phase: int, M: int,
+               interpret: bool = False, bf16: bool = False) -> IQ:
+    """Fused filterbank: state-prepended wideband xp (IQ [..., P],
+    P >= (M + taps_per_phase - 1) * K) -> IQ [..., M, K] channelized
+    samples (channel-MINOR; the caller corner-turns to [..., K, M]).
+    Value-equal (f32 summation order aside) to the XLA pipeline in
+    ops/channelizer.channelize; use when kernel_geometry(K, L) is not
+    None."""
+    xp = cplx.as_iq(xp)
+    *lead, P = xp.shape
+    S = int(np.prod(lead)) if lead else 1
+    y = _filterbank(xp.reshape(S, P), K, taps_per_phase, M, interpret, bf16)
+    return y.reshape(*lead, M, K)

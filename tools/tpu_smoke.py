@@ -298,6 +298,32 @@ def main() -> int:
     )
     report("channelizer_parity", err < 1e-3, max_err=err)
 
+    # fused Pallas filterbank (ops/pallas_channelize) vs the XLA pipeline
+    # ON THE SAME TPU: f32 mode must match to summation order (both run
+    # HIGHEST-precision MXU contractions); bf16 mode to ~3 digits.  The
+    # K=64 case exercises tile seams (Q > TQ) and the lookahead row.
+    wiq = cplx.IQ(jnp.asarray(ref["wide_re"]), jnp.asarray(ref["wide_im"]))
+    for Kc, lbl in ((16, "k16"), (64, "k64")):
+        Tc = (wiq.shape[-1] // Kc) * Kc
+        wc = wiq[..., :Tc]
+        yx, _ = chz.channelize(wc, Kc, impl="xla")
+        yp, _ = chz.channelize(wc, Kc, impl="pallas")
+        ef = float(
+            max(
+                np.abs(np.asarray(yx.re - yp.re)).max(),
+                np.abs(np.asarray(yx.im - yp.im)).max(),
+            )
+        )
+        report(f"filterbank_kernel_f32_{lbl}", ef < 1e-4, max_err=ef)
+        yb, _ = chz.channelize(wc, Kc, impl="pallas", bf16=True)
+        eb = float(
+            max(
+                np.abs(np.asarray(yx.re - yb.re)).max(),
+                np.abs(np.asarray(yx.im - yb.im)).max(),
+            )
+        )
+        report(f"filterbank_kernel_bf16_{lbl}", eb < 3e-2, max_err=eb)
+
     from lora_tpu.ops import pallas_demod
     from lora_tpu.ops import shift as shift_ops
 
