@@ -123,8 +123,11 @@ def channelize(
         from . import pallas_channelize as pc
 
         fits = pc.kernel_geometry(K, taps_per_phase) is not None
+        # an explicit `group` is an XLA-path tuning knob (tune_kernels
+        # sweeps); honor it by keeping auto off the kernel route
         want = impl in ("pallas", "pallas-interpret") or (
-            impl == "auto" and jax.default_backend() == "tpu"
+            impl == "auto" and group is None
+            and jax.default_backend() == "tpu"
         )
         if fits and want:
             y = pc.filterbank(

@@ -34,20 +34,29 @@ from lora_tpu.ops import cplx, pallas_demod as pd
 from lora_tpu.ops.cplx import IQ
 
 
-def _timed(fn, args, reps=5):
-    """Median seconds/call with a host readback per call (the tunneled
-    runtime needs np.asarray to await completion; one call in flight)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(leaf)
-    ts = []
+def _timed(fn, args, reps=8):
+    """Seconds/call by CHAINED dispatch: each call's input is perturbed by
+    a zero derived from the previous output, so `reps` dependent programs
+    queue on the device and ONE readback awaits them all.  (The former
+    readback-per-call form floored every sub-25 ms kernel at the tunnel's
+    fixed RPC cost, making small-cell sweeps indistinguishable.)  args[0]
+    must be the IQ operand."""
+    xs, rest = args[0], args[1:]
+    f = jax.jit(lambda eps, x, *r: fn(IQ(x.re + eps, x.im), *r))
+
+    def scalar(out):
+        leaf = jax.tree.leaves(out)[0]
+        return (leaf.ravel()[0] * 0).astype(jnp.float32)
+
+    out = f(jnp.float32(0.0), xs, *rest)  # compile + settle
+    eps = scalar(out)
+    np.asarray(eps)
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        out = f(eps, xs, *rest)
+        eps = scalar(out)
+    np.asarray(eps)
+    return (time.perf_counter() - t0) / reps
 
 
 def sweep_track(N: int, B: int, tcs, bf16=False):
@@ -237,26 +246,39 @@ def sweep_channelizer(K: int, T: int, S: int, groups):
     wb = IQ(r2((S, T)), r2((S, T)))
     jax.block_until_ready(wb)
     base = None
-    for g in groups:
-        if (T // K) % g:
-            continue
-        fn = jax.jit(
-            lambda x, _g=g: chz.channelize(x, K, group=_g)[0],
-        )
+
+    def row(tag, fn):
+        nonlocal base
         try:
             s = _timed(lambda x: fn(x), (wb,))
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"kernel": "channelizer", "K": K, "G": g,
+            print(json.dumps({"kernel": "channelizer", "K": K, "cfg": tag,
                               "error": repr(e)[:200]}), flush=True)
-            continue
+            return
         if base is None:
             base = s
         print(json.dumps({
-            "kernel": "channelizer", "K": K, "T": T, "S": S, "G": g,
+            "kernel": "channelizer", "K": K, "T": T, "S": S, "cfg": tag,
             "ms": round(s * 1e3, 3),
             "Mwide-samp/s": round(S * T / s / 1e6, 1),
             "vs_first": round(base / s, 2),
         }), flush=True)
+
+    for g in groups:
+        if (T // K) % g:
+            continue
+        row(f"xla-G{g}", jax.jit(
+            lambda x, _g=g: chz.channelize(x, K, group=_g, impl="xla")[0]
+        ))
+    # the fused Pallas filterbank (ops/pallas_channelize), f32 and bf16
+    from lora_tpu.ops.pallas_channelize import kernel_geometry
+    if kernel_geometry(K, 8) is not None:
+        row("pallas-f32", jax.jit(
+            lambda x: chz.channelize(x, K, impl="pallas")[0]
+        ))
+        row("pallas-bf16", jax.jit(
+            lambda x: chz.channelize(x, K, impl="pallas", bf16=True)[0]
+        ))
 
 
 def crash_retest(N: int, B: int):
