@@ -67,8 +67,8 @@ def test_filterbank_kernel_parity_bf16(rng):
 
 def test_kernel_geometry_gates():
     # too-wide segments (K*G > 1024) and too-long prototypes fall back
-    assert kernel_geometry(256, 8) is None   # SEG = 2048
-    assert kernel_geometry(128, 8) == (8, 1024)
+    assert kernel_geometry(256, 8) is None   # G = L-1 = 7 -> SEG = 1792
+    assert kernel_geometry(128, 8) == (7, 896)   # G = L-1 dominates
     assert kernel_geometry(64, 8) == (8, 512)
     # forcing the kernel on an unsupported geometry raises
     x = cplx.zeros((256 * 8,))
