@@ -168,9 +168,10 @@ def _track_tc(N: int) -> int:
     is safe VMEM-wise even at N=4096 (inputs 2x8x18xNx4 double-buffered +
     34 (TC,N) window scratches ~= 19 MB < the 40 MB limit below)."""
     tc = (1 << 21) // (TRACK_ROWS * N * 4)
-    # cap 32 was tuned against the round-1 per-channel roll loop; the
-    # barrel-shift roll no longer serializes the cell, but the cap stays
-    # until a hardware sweep says wider cells win (TODO: retune on-chip)
+    # cap 32 re-measured on-chip round 3 (chained-dispatch sweep, N=128,
+    # B=4096, bf16): TC=32 7.5 ms, 64 9.2, 128 10.1, 256 32.5 — wider
+    # cells lose; the 13-step scan serializes regardless and bigger
+    # blocks only add VMEM pressure (tools/tune_kernels.sweep_track)
     return max(8, min(32, (tc // 8) * 8))
 
 
