@@ -80,6 +80,122 @@ def _fir_idft_matrix(
     return wb.real.astype(np.float32), wb.imag.astype(np.float32)
 
 
+def _grouped_rows(a, K: int, taps_per_phase: int, G: int):
+    """[..., rows, K] -> [..., Q, R*K] grouped matmul operand:
+    Z[q, r*K + p] = a[qG + r, p] (R = L + G - 1, Q = (rows - L + 1) // G).
+
+    Rows qG..qG+G-1 are exactly row q of the (Q, G*K) reshape, rows
+    qG+G.. come from row q+1 of G-shifted reshapes — so Z is a lane-axis
+    concat of ceil(R/G) CONTIGUOUS reshaped views instead of R stride-G
+    row gathers (the strided form ran the whole channelizer at ~1
+    TFLOP/s; the gather, not the matmul, was the bound).  Shared by the
+    analysis (channelize) and synthesis (synthesize) banks — their
+    block-Toeplitz operands are identical up to the constant matrix."""
+    L = taps_per_phase
+    R = L + G - 1
+    Q = (a.shape[-2] - L + 1) // G
+    lead = a.shape[:-2]
+    pieces = []
+    r0 = 0
+    while r0 < R:
+        w = min(G, R - r0) * K
+        seg = a[..., r0 : r0 + Q * G, :]
+        short = Q * G - seg.shape[-2]
+        if short:  # missing tail rows land in lanes sliced off below
+            seg = jnp.pad(
+                seg, [(0, 0)] * len(lead) + [(0, short), (0, 0)]
+            )
+        pieces.append(seg.reshape(*lead, Q, G * K)[..., :w])
+        r0 += G
+    return jnp.concatenate(pieces, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _fir_dft_syn_matrix(
+    K: int, taps_per_phase: int, G: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """[(L+G-1)*K, G*K] combined synthesis-bank matrix producing G*K
+    consecutive wideband samples per grouped row of channel samples:
+
+        WS[(r, k), (j, p)] = E[k, p] * Gh[j - r + L - 1, p]
+                             (0 <= j - r + L - 1 < L)
+
+    with E[k, p] = e^{+2 pi i k p / K} (the channel-k carrier on the
+    commutator phase grid) and Gh[l, p] = K * h[l*K + p] the interpolating
+    polyphase components.  The per-row K-point DFT across channels and the
+    per-phase FIR collapse into one contraction, exactly mirroring
+    _fir_idft_matrix on the analysis side."""
+    L = taps_per_phase
+    Gh = (prototype(K, taps_per_phase).astype(np.float64) * K).reshape(L, K)
+    ere, eim = _idft_k(K)
+    E = ere.astype(np.float64) + 1j * eim.astype(np.float64)  # [k, p]
+    R = L + G - 1
+    ws = np.zeros((R, K, G, K), np.complex128)
+    for r in range(R):
+        for j in range(G):
+            l = j - r + L - 1
+            if 0 <= l < L:
+                ws[r, :, j, :] = E * Gh[l][None, :]
+    ws = ws.reshape(R * K, G * K)
+    return ws.real.astype(np.float32), ws.imag.astype(np.float32)
+
+
+def synthesize(
+    u,
+    taps_per_phase: int = 8,
+    state: IQ | None = None,
+    group: int | None = None,
+    bf16: bool = False,
+) -> tuple[IQ, IQ]:
+    """Synthesis filterbank (TX combiner): merge K channel streams into
+    one wideband stream — the exact transpose of :func:`channelize`.
+
+    u: IQ [..., K, M] channel-k baseband at rate BW (channel k lands at
+    +k/K of the wideband rate; negative frequencies = K-k).
+    Returns (x, new_state):
+      x          IQ [..., M*K] wideband at rate K*BW (causal: the
+                 prototype's L*K-1-sample group delay is NOT compensated,
+                 so chunked calls concatenate exactly)
+      new_state  IQ [..., K, L-1] tail channel samples to pass as `state`
+                 for streaming continuity (zeros on the first block)
+
+    Each channel is zero-stuffed, interpolated with the same Kaiser
+    prototype as the analysis bank (unit passband gain: K*h) and mixed to
+    its carrier — algebraically identical to summing
+    :func:`upconvert` over channels, but as ONE block-Toeplitz MXU
+    contraction over all K channels (upconvert is O(K*L) per output
+    sample, usable for test vectors only).
+
+    The reference has no multi-channel TX (one radio = one stream,
+    SURVEY.md §2.2); this is the TX side of BASELINE.json config 3.
+    """
+    u = cplx.as_iq(u)
+    K, M = u.shape[-2], u.shape[-1]
+    L = taps_per_phase
+    if state is None:
+        state = cplx.zeros((*u.shape[:-2], K, L - 1))
+    new_state = u[..., :, M - (L - 1):] if L > 1 else state
+    # rows[m, k]: state rows first (V-history), then the block's rows
+    rows_u = IQ(
+        jnp.swapaxes(u.re, -1, -2), jnp.swapaxes(u.im, -1, -2)
+    )
+    rows_s = IQ(
+        jnp.swapaxes(state.re, -1, -2), jnp.swapaxes(state.im, -1, -2)
+    )
+    rows = cplx.concatenate([rows_s, rows_u], axis=-2)  # [..., M+L-1, K]
+    G = group or next(g for g in (8, 4, 2, 1) if M % g == 0)
+    if M % G:
+        raise ValueError(f"group={G} must divide M={M}")
+    Z = IQ(
+        _grouped_rows(rows.re, K, taps_per_phase, G),
+        _grouped_rows(rows.im, K, taps_per_phase, G),
+    )
+    wsr, wsi = _fir_dft_syn_matrix(K, taps_per_phase, G)
+    x = cplx.matmul(Z, IQ(jnp.asarray(wsr), jnp.asarray(wsi)), bf16=bf16)
+    x = x.reshape(*u.shape[:-2], M * K)
+    return x, new_state
+
+
 def channelize(
     x,
     K: int,
@@ -157,32 +273,10 @@ def channelize(
     G = group or next(g for g in (8, 4, 2, 1) if M % g == 0)
     if M % G:
         raise ValueError(f"group={G} must divide M={M}")
-    R = L + G - 1
-    Q = M // G
-
-    def zb(a):  # [..., rows, K] -> [..., Q, R*K]
-        # Z[q, r*K + p] = Xrev[qG + r, p].  Rows qG..qG+G-1 are exactly
-        # row q of the (Q, G*K) reshape, rows qG+G.. come from row q+1 of
-        # G-shifted reshapes — so Z is a lane-axis concat of ceil(R/G)
-        # CONTIGUOUS reshaped views instead of R stride-G row gathers
-        # (the strided form ran the whole channelizer at ~1 TFLOP/s; the
-        # gather, not the matmul, was the bound)
-        lead = a.shape[:-2]
-        pieces = []
-        r0 = 0
-        while r0 < R:
-            w = min(G, R - r0) * K
-            seg = a[..., r0 : r0 + Q * G, :]
-            short = Q * G - seg.shape[-2]
-            if short:  # missing tail rows land in lanes sliced off below
-                seg = jnp.pad(
-                    seg, [(0, 0)] * len(lead) + [(0, short), (0, 0)]
-                )
-            pieces.append(seg.reshape(*lead, Q, G * K)[..., :w])
-            r0 += G
-        return jnp.concatenate(pieces, -1)
-
-    Z = IQ(zb(Xrev.re), zb(Xrev.im))
+    Z = IQ(
+        _grouped_rows(Xrev.re, K, L, G),
+        _grouped_rows(Xrev.im, K, L, G),
+    )
     wbr, wbi = _fir_idft_matrix(K, taps_per_phase, G)
     y = cplx.matmul(Z, IQ(jnp.asarray(wbr), jnp.asarray(wbi)), bf16=bf16)
     y = y.reshape(*x.shape[:-1], M, K)

@@ -195,3 +195,102 @@ def test_channelized_demodulate_streaming_state(rng):
     assert bool(np.asarray(d2.found)[5])
     dec = api.decode(d2.symbols.astype(jnp.int32), cfg)
     assert api.extract_payloads(dec)[5] == bytes(payload.tolist())
+
+
+# ---------------------------------------------------------------------------
+# synthesis filterbank (TX combiner)
+# ---------------------------------------------------------------------------
+
+
+def test_synthesize_matches_upconvert_single_channel(rng):
+    """Loading one channel of the synthesis bank reproduces upconvert's
+    zero-stuff -> interpolate -> mix chain (same prototype): equal up to
+    the uncompensated group delay d = (L*K-1)//2 and the constant carrier
+    phase e^{2 pi i c d / K} that upconvert's delay slice re-references."""
+    K, M, L, c = 16, 96, 8, 5
+    u1 = cplx.IQ(
+        jnp.asarray(rng.standard_normal(M), jnp.float32),
+        jnp.asarray(rng.standard_normal(M), jnp.float32),
+    )
+    u = cplx.zeros((K, M))
+    u = cplx.IQ(u.re.at[c].set(u1.re), u.im.at[c].set(u1.im))
+    x, _ = chz.synthesize(u)
+    xc = np.asarray(cplx.to_complex(x))
+    up = np.asarray(cplx.to_complex(chz.upconvert(u1, K, c)))
+    d = (L * K - 1) // 2
+    phase = np.exp(2j * np.pi * c * d / K)
+    n = min(len(up), len(xc) - d)
+    np.testing.assert_allclose(
+        xc[d : d + n], up[:n] * phase, atol=2e-4
+    )
+
+
+def test_synthesize_channelize_roundtrip_tones(rng):
+    """Near-perfect reconstruction: tones placed on several channels come
+    back on the same channels with the right baseband frequency."""
+    K, M = 32, 256
+    tones = {3: 0.21, 17: -0.10, 30: 0.05}
+    u = cplx.zeros((K, M))
+    for c, f in tones.items():
+        t = chz.synthesize_tone(M, f, ampl=1.0)
+        u = cplx.IQ(u.re.at[c].set(t.re), u.im.at[c].set(t.im))
+    x, _ = chz.synthesize(u)
+    y, _ = chz.channelize(x, K)
+    yc = np.asarray(cplx.to_complex(y))[:, 24:]  # skip both filter warmups
+    power = np.mean(np.abs(yc) ** 2, axis=-1)
+    for c, f in tones.items():
+        others = np.delete(power, list(tones))
+        assert power[c] > 0.5, (c, power[c])
+        assert 10 * np.log10(power[c] / max(others.max(), 1e-12)) > 35.0
+        spec = np.abs(np.fft.fft(yc[c]))
+        fhat = np.fft.fftfreq(yc.shape[-1])[int(np.argmax(spec))]
+        assert abs(fhat - f) < 2.0 / yc.shape[-1], (c, fhat, f)
+
+
+def test_synthesize_streaming_state_continuity(rng):
+    """Chunked synthesize with carried state == one-shot (causal output,
+    so chunks concatenate exactly)."""
+    K, M = 16, 64
+    u = cplx.IQ(
+        jnp.asarray(rng.standard_normal((K, M)), jnp.float32),
+        jnp.asarray(rng.standard_normal((K, M)), jnp.float32),
+    )
+    x_full, _ = chz.synthesize(u)
+    state = None
+    outs = []
+    for lo in (0, M // 2):
+        xi, state = chz.synthesize(u[..., lo : lo + M // 2], state=state)
+        outs.append(np.asarray(cplx.to_complex(xi)))
+    np.testing.assert_allclose(
+        np.asarray(cplx.to_complex(x_full)),
+        np.concatenate(outs, axis=-1),
+        atol=1e-5,
+    )
+
+
+def test_synthesize_lora_tx_rx_end_to_end(rng):
+    """The real config-3 TX story: LoRa frames on several channels merged
+    by the synthesis bank, recovered byte-exact through the analysis bank
+    + demod + decode."""
+    K = 16
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(5) + 2)
+    from lora_tpu.models.demodulator import required_samples
+
+    need = required_samples(cfg)
+    chans = [2, 9, 14]
+    payloads = {c: rng.integers(0, 256, 5).astype(np.uint8) for c in chans}
+    u = cplx.zeros((K, need))
+    for c, p in payloads.items():
+        nb = api.modulate(api.encode(jnp.asarray(p[None]), cfg), cfg)[0]
+        d0 = 16 * c
+        nb = cplx.pad(nb, ((d0, need - nb.shape[-1] - d0),))
+        u = cplx.IQ(u.re.at[c].set(nb.re), u.im.at[c].set(nb.im))
+    x, _ = chz.synthesize(u)
+    dem, _ = api.channelized_demodulate(x, K, cfg)
+    dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
+    got = api.extract_payloads(dec)
+    found = np.asarray(dem.found)
+    for c in chans:
+        assert found[c], c
+        assert got[c] == bytes(payloads[c].tolist()), c
