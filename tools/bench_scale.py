@@ -146,14 +146,21 @@ def _config5(args, on_tpu, rng, api, jax, jnp, cplx, IQ,
     iq = api.modulate(api.encode(jnp.asarray(payload), cfg10), cfg10)
     fre = np.asarray(iq.re)[:, :T10]
     fim = np.asarray(iq.im)[:, :T10]
+    if fre.shape[1] < T10:
+        fre = np.pad(fre, ((0, 0), (0, T10 - fre.shape[1])))
+        fim = np.pad(fim, ((0, 0), (0, T10 - fim.shape[1])))
+    # noise per SLAB, then tile: host-side standard_normal over the full
+    # 10k x 98k bank (~2e9 float64 draws) took minutes on this one-core
+    # box and blew the driver window; slabs repeat frames anyway
+    fre = fre + 0.05 * rng.standard_normal(
+        fre.shape, dtype=np.float32
+    )
+    fim = fim + 0.05 * rng.standard_normal(
+        fim.shape, dtype=np.float32
+    )
     reps_b = -(-B // slab)
     re = np.tile(fre, (reps_b, 1))[:B]
     im = np.tile(fim, (reps_b, 1))[:B]
-    if re.shape[1] < T10:
-        re = np.pad(re, ((0, 0), (0, T10 - re.shape[1])))
-        im = np.pad(im, ((0, 0), (0, T10 - im.shape[1])))
-    re += 0.05 * rng.standard_normal(re.shape).astype(np.float32)
-    im += 0.05 * rng.standard_normal(im.shape).astype(np.float32)
 
     dem = demodulate_bank(re, im, cfg10, slab=slab)  # compile + run
     found = np.asarray(dem.found)
