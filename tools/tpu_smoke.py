@@ -106,6 +106,13 @@ def build_and_reference(path: str) -> None:
     out["wide_re"], out["wide_im"] = wide[0], wide[1]
     out["chan_re"], out["chan_im"] = np.asarray(y.re), np.asarray(y.im)
 
+    # synthesis bank (TX combiner): K channel streams -> wideband
+    u = rng.standard_normal((2, 2, K, M)).astype(np.float32)
+    xs, _ = chz.synthesize(cplx.IQ(jnp.asarray(u[0]), jnp.asarray(u[1])))
+    out["syn_re"], out["syn_im"] = u[0], u[1]
+    out["syn_out_re"] = np.asarray(xs.re)
+    out["syn_out_im"] = np.asarray(xs.im)
+
     # direct payload kernel: random row offsets covering every sublane
     # alignment (q % 8 in 0..7) — stresses the scalar-prefetched dynamic
     # sublane slice on real Mosaic; reference = XLA gather + detect
@@ -323,6 +330,18 @@ def main() -> int:
             )
         )
         report(f"filterbank_kernel_bf16_{lbl}", eb < 3e-2, max_err=eb)
+
+    # synthesis bank (TX combiner) vs the CPU reference
+    xs, _ = chz.synthesize(
+        cplx.IQ(jnp.asarray(ref["syn_re"]), jnp.asarray(ref["syn_im"]))
+    )
+    es = float(
+        max(
+            np.abs(np.asarray(xs.re) - ref["syn_out_re"]).max(),
+            np.abs(np.asarray(xs.im) - ref["syn_out_im"]).max(),
+        )
+    )
+    report("synthesis_bank_parity", es < 1e-3, max_err=es)
 
     from lora_tpu.ops import pallas_demod
     from lora_tpu.ops import shift as shift_ops
