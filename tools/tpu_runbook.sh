@@ -30,7 +30,12 @@ run stages    1200 python tools/bench_stages.py
 run roofline  1500 python tools/bench_roofline.py
 run scale     1500 python tools/bench_scale.py
 run stream     900 python tools/bench_stream.py --tpu
-run sens      1800 python tools/bench_sensitivity.py --packets 24
+# note --out: the quick paired refresh must NOT overwrite the curated
+# docs/sensitivity_vs_reference.json (SF7/8/10/12 x 32 packets + soft
+# curve); regenerate that one deliberately with
+#   python tools/bench_sensitivity.py --sf 7 8 10 12 --packets 32 --soft
+run sens      1800 python tools/bench_sensitivity.py --packets 24 \
+                   --out /tmp/runbook/sensitivity_refresh.json
 # LAST on purpose: a positive crash reproduction can hard-fault the TPU
 # worker and poison the tunnel for anything after it
 run crash     1200 python tools/tune_kernels.py --crash-retest
