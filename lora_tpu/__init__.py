@@ -22,6 +22,10 @@ def __getattr__(name):
         from . import api
 
         return getattr(api, name)
+    if name in ("debug_checks", "DemodCheckError"):
+        from .utils import debugcheck
+
+        return getattr(debugcheck, name)
     if name in ("parallel", "runtime", "api", "models", "ops", "sim",
                 "utils", "hw"):
         import importlib

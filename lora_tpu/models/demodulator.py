@@ -623,7 +623,16 @@ def demodulate(
     x = cplx.as_iq(x)
     squeeze = x.ndim == 1
     xb = x if not squeeze else x.reshape(1, -1)
+    from ..utils import debugcheck
+
+    if debugcheck.armed() and not debug:
+        # sanitizer armed: route through the spectra-carrying payload path
+        # so the dechirped payload windows are actually inspected
+        spectra = True
     res = _demod_whole(xb, cfg, debug, max_frames, fused, spectra)
+    if debugcheck.armed():
+        T = max(xb.shape[-1], required_samples(cfg))
+        debugcheck.check_demod(res, cfg, T)
     if squeeze:
         res = jax.tree.map(lambda a: a[0], res)
     return res

@@ -71,3 +71,39 @@ def test_top_level_lazy_exports():
     assert lora_tpu.IQ is not None
     assert hasattr(lora_tpu.parallel, "make_mesh")
     assert hasattr(lora_tpu.runtime, "StreamDemodulator")
+
+
+def test_debug_checks_sanitizer(rng):
+    """SURVEY §5 sanitizer: the armed context passes clean signals and
+    raises on NaN poisoning of the payload (which would otherwise decode
+    to plausible-looking garbage symbols)."""
+    import pytest
+
+    import lora_tpu
+    from lora_tpu.ops import cplx
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    p = rng.integers(0, 256, (2, 4)).astype(np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(p), cfg), cfg)
+
+    assert not lora_tpu.utils.debugcheck.armed()
+    with lora_tpu.debug_checks():
+        assert lora_tpu.utils.debugcheck.armed()
+        dem = api.demodulate(iq, cfg)
+        # armed mode routes through the spectra-carrying path
+        assert dem.fft_mag2 is not None
+        assert bool(np.all(np.asarray(dem.found)))
+    assert not lora_tpu.utils.debugcheck.armed()
+
+    # poison a few payload samples (preamble/sync stay clean, so the frame
+    # still syncs and the garbage would flow into the symbol stream)
+    re = np.array(iq.re)  # writable copy
+    re[1, -3 * cfg.N :] = np.nan
+    bad = cplx.IQ(jnp.asarray(re), iq.im)
+    with lora_tpu.debug_checks():
+        with pytest.raises(lora_tpu.DemodCheckError):
+            api.demodulate(bad, cfg)
+    # disarmed: same input returns without raising (the silent-garbage
+    # behavior the sanitizer exists to expose)
+    api.demodulate(bad, cfg)
