@@ -52,7 +52,6 @@ from .cplx import IQ
 from .fft import _dft_matrix_np, _twiddle_np
 from .pallas_detect import (
     MAX_DIRECT_N,
-    dechirp_derotate_vals,
     direct_vals,
     four_step_vals,
     supported,
@@ -263,19 +262,73 @@ def _detect_args(N: int, bf16: bool = False):
     return specs, arrays, make
 
 
-# The sub-window alignment r works per LANE-rolled rows: with
-# a[w] = roll(rows[w], -r) (cyclic within the row), the true window
-# w = rows[w][r:] ++ rows[w+1][:r] equals
-#     where(lane < N - r, a[w], a[w+1])
-# — lane i < N-r reads rows[w][i+r], lane i >= N-r reads
-# rows[w+1][i+r-N].  Mosaic's layout engine cannot concatenate or select
-# sublane-rolled *values*, so both kernels stage the lane-rolled rows
-# through a VMEM scratch and blend row pairs with static-offset ref loads.
+# Sub-window alignment WITHOUT rolls (round-4 rework).  The detector only
+# consumes |DFT|^2, and a time shift of the dechirped window is a pure
+# output phase.  Concretely, with the quadratic-phase dechirp table
+# c[n] = exp(-+2*pi*i*g(n)/N), g(n) = (n+1)(n+2)/2 - (n+1)N/2 (chirp.py
+# _dechirp_turns_np; the N*w wrap term is 0 mod N), the true window
+# y[n] = rows[w][r+n] (n < N-r) / rows[w+1][r+n-N] satisfies
+#
+#   S[k] = sum_n y[n] c[n] W^{nk}
+#        = const_r * W^{-rk} * sum_m u'[m] c[m] e^{+-2*pi*i(r*m mod N)/N} W^{mk}
+#
+# where u'[m] = rows[w][m] for m >= r and -rows[w+1][m] for m < r (the
+# -1 is the half-turn of g across the N boundary: g(x+N)-g(x) = N/2 mod
+# N), because g(m-r) = g(m) - rm - r(3-r)/2 + rN/2 makes the shifted
+# table a LINEAR phase times the unshifted one.  const_r and W^{-rk}
+# drop under |.|^2, so the peak/power/noise/f_index outputs are those of
+# the true window while the kernel never rolls anything: the alignment
+# is one lane select (with negation) plus folding (r*m mod N)/N turns
+# into the fine-CFO derotator — computed in exact int32 (N is a power of
+# two) so no large-angle float loss.  Replaces the round-1..3 barrel
+# shifter (log2(N) gated pltpu.roll+where passes over every row, the
+# dominant VPU cost of both kernels at ~20 full-block passes).
+#
+# Sign convention: the UP dechirp table is conj(base chirp) (turns
+# negated) giving e^{+2*pi*i(rm mod N)/N}, i.e. derotator turns
+# -(fe*m - (r*m mod N))/N; the DOWN table keeps base turns, flipping the
+# factor sign: -(fe*m + (r*m mod N))/N.
 
 
-def _lane_mask(N, r):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-    return lane < (N - r)
+def _blend_shift(row_w_r, row_w_i, row_w1_r, row_w1_i, rv):
+    """u'[m]: lane m >= r from row w, lane m < r from MINUS row w+1.
+    rv: (TC, 1) int32 per-channel r = data_start % N."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, row_w_r.shape[-1]), 1)
+    take_w = lane >= rv
+    return (
+        jnp.where(take_w, row_w_r, -row_w1_r),
+        jnp.where(take_w, row_w_i, -row_w1_i),
+    )
+
+
+def _shift_rotation_turns(rv, fe, N, TW, down):
+    """Combined derotator turns: (-+(r*m mod N) - fe*(m + N*[m<r]))/N as
+    [TW, N] f32.  The fine-CFO factor is a function of the TIME index
+    n = m - r + N*[m<r], so fe multiplies the unwrapped index (the
+    constant e^{2*pi*i*fe*r/N} drops under |.|^2).  The r*m product and
+    mod-N reduction stay in int32 (exact; N pow2) — evaluating
+    2*pi*r*m/N directly in f32 would hit ~0.5 rad ulp at r*m ~ N^2."""
+    m = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1)
+    rm = (rv * m) & (N - 1)
+    m_eff = jnp.where(m < rv, m + N, m).astype(jnp.float32)
+    sgn = -1.0 if down else 1.0
+    return (sgn * rm.astype(jnp.float32) - fe * m_eff) * (1.0 / N)
+
+
+def _dechirp_shift_vals(xr, xi, cr, ci, fe, rv, down):
+    """Dechirp multiply + combined shift/fine-CFO rotation on values:
+    xr/xi [TW, N] BLENDED window samples (_blend_shift), cr/ci [1, N]
+    chirp table rows, fe [TW, 1] fine CFO in bins, rv [TW, 1] int32
+    sub-window shift.  |DFT|^2-equivalent to rolling the window by rv and
+    calling dechirp_derotate_vals (see module comment)."""
+    TW, N = xr.shape
+    yr = xr * cr - xi * ci
+    yi = xr * ci + xi * cr
+    turns = _shift_rotation_turns(rv, fe, N, TW, down)
+    ang = (2.0 * np.pi) * turns
+    rr = jnp.cos(ang)
+    ri = jnp.sin(ang)
+    return yr * rr - yi * ri, yr * ri + yi * rr
 
 
 def _trunc_half_i32(x):
@@ -288,28 +341,21 @@ def _trunc_half_i32(x):
 # --------------------------------------------------------------------------
 
 def _payload_flat_kernel_factory(N, M, make_det):
-    def kernel(shv, fev, gr, gi, cr, ci, *rest):
+    def kernel(rv, fev, gr, gi, cr, ci, *rest):
         det_refs = rest[: len(rest) - 3]
         value, power, noise = rest[len(rest) - 3:]
         det = make_det(det_refs)
-        sh = shv[:]                                    # (M, 1) int32
+        r = rv[:]                                      # (M, 1) int32
         fe = fev[:]                                    # (M, 1) f32
         vr, vi = gr[:], gi[:]
-        # per-row lane roll by sh = (N - r) % N, as a barrel shifter
-        for b in range(N.bit_length() - 1):            # sh < N
-            amt = 1 << b
-            mbit = (sh & amt) != 0
-            vr = jnp.where(mbit, pltpu.roll(vr, amt, 1), vr)
-            vi = jnp.where(mbit, pltpu.roll(vi, amt, 1), vi)
-        # window w = rolled row w up to lane N-r, then rolled row w+1;
-        # "row w+1" for every row at once is one static sublane roll
-        # (wrap rows pair across channels/cells -> windows >= mtu, cut
-        # by the XLA-side [:, :mtu] slice)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        maskN = lane < jnp.where(sh == 0, N, sh)       # (M, N)
-        win_r = jnp.where(maskN, vr, pltpu.roll(vr, M - 1, 0))
-        win_i = jnp.where(maskN, vi, pltpu.roll(vi, M - 1, 0))
-        zr, zi = dechirp_derotate_vals(win_r, win_i, cr[:], ci[:], fe)
+        # roll-free alignment (module comment): window w = row w lanes
+        # >= r, minus row w+1 lanes < r; "row w+1" for every row at once
+        # is one static sublane roll (wrap rows pair across channels/
+        # cells -> windows >= mtu, cut by the XLA-side [:, :mtu] slice)
+        win_r, win_i = _blend_shift(
+            vr, vi, pltpu.roll(vr, M - 1, 0), pltpu.roll(vi, M - 1, 0), r
+        )
+        zr, zi = _dechirp_shift_vals(win_r, win_i, cr[:], ci[:], fe, r, False)
         val, pwr, nse, _ = det(zr, zi, False)
         value[:] = val
         power[:] = pwr
@@ -341,7 +387,7 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     cre, cim = _dechirp_table_np(N, False)
-    sh_rows = jnp.repeat((N - rs.astype(jnp.int32)) % N, Rp).reshape(-1, 1)
+    rv_rows = jnp.repeat(rs.astype(jnp.int32) % N, Rp).reshape(-1, 1)
     fe_rows = jnp.repeat(fe.astype(jnp.float32), Rp).reshape(-1, 1)
     row2 = lambda i: (i, 0)
     in_specs = [
@@ -377,7 +423,7 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
             transcendentals=2 * Bp * Rp * N,
         ),
         interpret=interpret,
-    )(sh_rows,
+    )(rv_rows,
       fe_rows,
       g.re.reshape(Bp * Rp, N), g.im.reshape(Bp * Rp, N),
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
@@ -407,7 +453,7 @@ def _remainder_roll(vr, vi, rem, rpp):
 def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det):
     M = PC * Rpp
 
-    def kernel(q8v, remv, shv, fev, xr, xi, cr, ci, *rest):
+    def kernel(q8v, remv, rv, fev, xr, xi, cr, ci, *rest):
         det_refs = rest[: len(rest) - 3]
         value, power, noise = rest[len(rest) - 3:]
         det = make_det(det_refs)
@@ -427,19 +473,15 @@ def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det):
             ri_.append(vi_c)
         vr = jnp.concatenate(rs_, 0) if PC > 1 else rs_[0]
         vi = jnp.concatenate(ri_, 0) if PC > 1 else ri_[0]
-        # from here identical to the flat kernel: per-row lane barrel
-        # roll, row-(w, w+1) pairing, dechirp+derotate, detect
-        sh = shv[:]                                    # (M, 1) int32
-        for b in range(N.bit_length() - 1):            # sh < N
-            amt = 1 << b
-            mbit = (sh & amt) != 0
-            vr = jnp.where(mbit, pltpu.roll(vr, amt, 1), vr)
-            vi = jnp.where(mbit, pltpu.roll(vi, amt, 1), vi)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        maskN = lane < jnp.where(sh == 0, N, sh)       # (M, N)
-        win_r = jnp.where(maskN, vr, pltpu.roll(vr, M - 1, 0))
-        win_i = jnp.where(maskN, vi, pltpu.roll(vi, M - 1, 0))
-        zr, zi = dechirp_derotate_vals(win_r, win_i, cr[:], ci[:], fev[:])
+        # from here identical to the flat kernel: roll-free window blend,
+        # dechirp + combined shift/CFO rotation, detect
+        r = rv[:]                                      # (M, 1) int32
+        win_r, win_i = _blend_shift(
+            vr, vi, pltpu.roll(vr, M - 1, 0), pltpu.roll(vi, M - 1, 0), r
+        )
+        zr, zi = _dechirp_shift_vals(
+            win_r, win_i, cr[:], ci[:], fev[:], r, False
+        )
         val, pwr, nse, _ = det(zr, zi, False)
         value[:] = val
         power[:] = pwr
@@ -475,7 +517,7 @@ def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
     # to (W - rpp) // 8 is exact because (W - rp) % 8 == 0 (route gate)
     q8 = jnp.minimum(qc // 8, (W - rpp) // 8)
     rem = qc - q8 * 8
-    sh_rows = jnp.repeat((N - rs.astype(jnp.int32)) % N, rpp).reshape(-1, 1)
+    rv_rows = jnp.repeat(rs.astype(jnp.int32) % N, rpp).reshape(-1, 1)
     fe_rows = jnp.repeat(fe.astype(jnp.float32), rpp).reshape(-1, 1)
     in_specs = [
         pl.BlockSpec((M, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -518,7 +560,7 @@ def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
         interpret=interpret,
     )(q8,
       rem,
-      sh_rows,
+      rv_rows,
       fe_rows,
       x3.re, x3.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
@@ -559,15 +601,19 @@ def _payload_kernel_factory(N, TWM, tiles, make_det):
         r = rs[b]
         fe = fes[b]
         det = make_det(det_refs)
-        sh = (N - r) % N
-        s_r[0:TWM, :] = pltpu.roll(ar[0], sh, 1)
-        s_i[0:TWM, :] = pltpu.roll(ai[0], sh, 1)
-        s_r[TWM : TWM + 8, :] = pltpu.roll(br[0], sh, 1)
-        s_i[TWM : TWM + 8, :] = pltpu.roll(bi[0], sh, 1)
-        mask = _lane_mask(N, r)
-        win_r = jnp.where(mask, s_r[0:TWM, :], s_r[1 : TWM + 1, :])
-        win_i = jnp.where(mask, s_i[0:TWM, :], s_i[1 : TWM + 1, :])
-        zr, zi = dechirp_derotate_vals(win_r, win_i, cr[:], ci[:], fe)
+        # stage RAW rows (this tile + the next tile's first 8) so window
+        # w's (row w, row w+1) pair is two static sublane slices; the
+        # alignment itself is the roll-free blend (module comment)
+        s_r[0:TWM, :] = ar[0]
+        s_i[0:TWM, :] = ai[0]
+        s_r[TWM : TWM + 8, :] = br[0]
+        s_i[TWM : TWM + 8, :] = bi[0]
+        rv = jnp.full((1, 1), r, jnp.int32)
+        win_r, win_i = _blend_shift(
+            s_r[0:TWM, :], s_i[0:TWM, :],
+            s_r[1 : TWM + 1, :], s_i[1 : TWM + 1, :], rv,
+        )
+        zr, zi = _dechirp_shift_vals(win_r, win_i, cr[:], ci[:], fe, rv, False)
         val, pwr, nse, _ = det(zr, zi, False)
         value[0] = val
         power[0] = pwr
@@ -634,7 +680,7 @@ def _payload_tiled(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
             transcendentals=2 * B * M8 * N,
         ),
         interpret=interpret,
-    )(rs.astype(jnp.int32),
+    )(rs.astype(jnp.int32) % N,
       fe.astype(jnp.float32),
       g.re, g.im, g.re, g.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
@@ -688,15 +734,15 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
 
     def kernel(*a):
         if W is None:
-            shv, xr, xi, cur, cui, cdr, cdi, *rest = a
+            rv_ref, xr, xi, cur, cui, cdr, cdi, *rest = a
         else:
-            q8v, remv, shv, xr, xi, cur, cui, cdr, cdi, *rest = a
-        n_scratch = 2 * R
+            q8v, remv, rv_ref, xr, xi, cur, cui, cdr, cdi, *rest = a
+        n_scratch = 2 * NW
         det_refs = rest[: len(rest) - 6 - n_scratch]
         outs = rest[len(rest) - 6 - n_scratch: len(rest) - n_scratch]
         o_state, o_ksync, o_fqerr, o_ferr, o_pwr, o_snr = outs
-        ror = rest[len(rest) - n_scratch: len(rest) - R]
-        roi = rest[len(rest) - R:]
+        ror = rest[len(rest) - n_scratch: len(rest) - NW]
+        roi = rest[len(rest) - NW:]
         det = make_det(det_refs)
         cu_r, cu_i = cur[:], cui[:]
         cd_r, cd_i = cdr[:], cdi[:]
@@ -722,37 +768,27 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
             xiv = jnp.concatenate(ri_, 0) if TC > 1 else ri_[0]
             row = lambda k: (xrv[:, k, :], xiv[:, k, :])
 
-        # 1. per-channel sub-window alignment roll, vectorized over the
-        #    whole channel block: a lane-roll by sh[c] = (N - r[c]) % N is
-        #    decomposed into log2(N) STATIC rolls gated per channel row by
-        #    the bits of sh (a barrel shifter).  Replaces the round-1
-        #    per-channel dynamic-roll loop, which serialized the cell (and
-        #    capped TC at 32 profitably); every step here is a full
-        #    (TC, N) VPU op.  xr/xi arrive channel-major ([TC, R, N], the
-        #    gather's native layout — no XLA transpose pass); window block
-        #    k is the static row-k slice of every channel.
-        sh = shv[:]                                    # (TC, 1) int32
-        for k in range(R):
-            vr, vi = row(k)
-            for b in range(N.bit_length() - 1):        # sh < N
-                amt = 1 << b
-                m = (sh & amt) != 0
-                vr = jnp.where(m, pltpu.roll(vr, amt, 1), vr)
-                vi = jnp.where(m, pltpu.roll(vi, amt, 1), vi)
-            ror[k][:, :] = vr
-            roi[k][:, :] = vi
-
-        # window k of channel c = rolled[k] up to lane N - r[c], then
-        # rolled[k+1] (the wrap lanes carry the next row's head); sh == 0
-        # means no shift, i.e. the whole row comes from rolled[k]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        maskN = lane < jnp.where(sh == 0, N, sh)       # (TC, N)
+        # 1. per-channel sub-window alignment, roll-free (module comment):
+        #    window k of channel c = row k lanes >= r[c], minus row k+1
+        #    lanes < r[c]; the sub-sample shift itself folds into the
+        #    detects' rotation term.  Replaces the round-1..3 barrel
+        #    shifter (log2(N) gated rolls per row — the kernel's dominant
+        #    VPU cost).  xr/xi arrive channel-major ([TC, R, N], the
+        #    gather's native layout — no XLA transpose pass); window
+        #    block k is the static row-k slice of every channel.
+        rv = rv_ref[:]                                 # (TC, 1) int32 r
+        for k in range(NW):
+            r0r, r0i = row(k)
+            r1r, r1i = row(k + 1)
+            wr_, wi_ = _blend_shift(r0r, r0i, r1r, r1i, rv)
+            ror[k][:, :] = wr_
+            roi[k][:, :] = wi_
 
         def swr(k):
-            return jnp.where(maskN, ror[k][:], ror[k + 1][:])
+            return ror[k][:]
 
         def swi(k):
-            return jnp.where(maskN, roi[k][:], roi[k + 1][:])
+            return roi[k][:]
 
         # 2. sync scan with two-symbol lookahead and fine-CFO integration
         #    (models/demodulator._scan_track, LoRaDemod.cpp:183-237)
@@ -762,14 +798,14 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
         k_sync = jnp.zeros((TC, 1), jnp.int32)
         thr = jnp.float32(thresh)
         for k in range(N_SCAN):
-            zr, zi = dechirp_derotate_vals(
-                swr(k), swi(k), cu_r, cu_i, ferr
+            zr, zi = _dechirp_shift_vals(
+                swr(k), swi(k), cu_r, cu_i, ferr, rv, False
             )
             val, pwr, nse, fidx = det(zr, zi, True)
             squelched = (pwr - nse) < thr
             q = (val + 4) // 8
-            z1r, z1i = dechirp_derotate_vals(
-                swr(k + 1), swi(k + 1), cu_r, cu_i, ferr
+            z1r, z1i = _dechirp_shift_vals(
+                swr(k + 1), swi(k + 1), cu_r, cu_i, ferr, rv, False
             )
             val1, _, _, _ = det(z1r, z1i, False)
             q1 = (val1 + 4) // 8
@@ -803,9 +839,9 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
             dc0i = dc0i + m0 * wi
             dc1r = dc1r + m1 * wr
             dc1i = dc1i + m1 * wi
-        z0r, z0i = dechirp_derotate_vals(dc0r, dc0i, cd_r, cd_i, ferr)
+        z0r, z0i = _dechirp_shift_vals(dc0r, dc0i, cd_r, cd_i, ferr, rv, True)
         v0, _, _, _ = det(z0r, z0i, False)
-        z1r, z1i = dechirp_derotate_vals(dc1r, dc1i, cd_r, cd_i, ferr)
+        z1r, z1i = _dechirp_shift_vals(dc1r, dc1i, cd_r, cd_i, ferr, rv, True)
         v1, p1, n1, _ = det(z1r, z1i, False)
         signed = lambda v: jnp.where(v > N // 2, v - N, v).astype(jnp.int32)
         freq_error = _trunc_half_i32(signed(v0) + signed(v1))
@@ -840,7 +876,7 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
     const = lambda shape: pl.BlockSpec(
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    shv = ((N - rs.astype(jnp.int32)) % N).reshape(Bp, 1)
+    rv = (rs.astype(jnp.int32) % N).reshape(Bp, 1)
     in_specs = [
         pl.BlockSpec((TC, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -862,7 +898,7 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
         grid=(Bp // TC,),
         in_specs=in_specs,
         out_specs=[out_spec] * 6,
-        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * TRACK_ROWS),
+        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * N_TRACK_WIN),
     )
     kernel = _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det)
     n_det = 2 * N_SCAN + 2
@@ -888,7 +924,7 @@ def _track_flat(xs: IQ, rs: jax.Array, sync0: int, sync1: int,
             transcendentals=2 * Bp * n_det * N,
         ),
         interpret=interpret,
-    )(shv, xs.re, xs.im,
+    )(rv, xs.re, xs.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       jnp.asarray(dre)[None], jnp.asarray(dim)[None],
       *det_arrays)
@@ -950,7 +986,7 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
     # bound (W - rpp) // 8 is exact because W % 8 == 0 (route gate)
     q8 = jnp.minimum(qc // 8, (W - rpp) // 8)
     rem = qc - q8 * 8
-    shv = ((N - rs.astype(jnp.int32)) % N).reshape(B, 1)
+    rv = (rs.astype(jnp.int32) % N).reshape(B, 1)
     in_specs = [
         pl.BlockSpec((TC, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -972,7 +1008,7 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
         grid=(B // TC,),
         in_specs=in_specs,
         out_specs=[out_spec] * 6,
-        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * R),
+        scratch_shapes=[pltpu.VMEM((TC, N), jnp.float32)] * (2 * N_TRACK_WIN),
     )
     kernel = _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W)
     n_det = 2 * N_SCAN + 2
@@ -996,7 +1032,7 @@ def _track_direct(x3: IQ, q: jax.Array, rs: jax.Array, sync0: int,
             transcendentals=2 * B * n_det * N,
         ),
         interpret=interpret,
-    )(q8, rem, shv, x3.re, x3.im,
+    )(q8, rem, rv, x3.re, x3.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       jnp.asarray(dre)[None], jnp.asarray(dim)[None],
       *det_arrays)
