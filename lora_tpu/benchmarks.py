@@ -68,11 +68,17 @@ _SENTINEL = "@@LORA "
 #           runs even with Pallas broken, minimal temp footprint.
 #   rung 2: fused f32, serial readback — no double-buffered temps.
 #   rung 3: bf16 MXU, depth-1 pipelined readback, half batch.
-#   rung 4 (headline): bf16, B=4096, pipelined.
+#   rung 4: fused f32, B=4096, pipelined — the roll-free kernels put the
+#           f32 four-step AHEAD of bf16 per-kernel (payload 8.4 vs 6.5
+#           Gsamp/s, tools/bench_roofline.py), so f32 contends for the
+#           headline at full batch.
+#   rung 5: bf16, B=4096, pipelined (round-3 headline mode).
+# The orchestrator banks the BEST value across rungs either way.
 _RUNGS = [
     ("off", 512, False, 3),
     ("auto", 2048, False, 4),
     ("bf16", 2048, True, 8),
+    ("auto", 4096, True, 10),
     ("bf16", 4096, True, 10),
 ]
 

@@ -51,6 +51,7 @@ from .chirp import _dechirp_table_np
 from .cplx import IQ
 from .fft import _dft_matrix_np, _twiddle_np
 from .pallas_detect import (
+    MAX_DENSE_BF16_N,
     MAX_DIRECT_N,
     direct_vals,
     four_step_vals,
@@ -221,14 +222,25 @@ def track_direct_tc(N: int, W: int, B: int) -> int | None:
 def _detect_args(N: int, bf16: bool = False):
     """Static (specs, arrays, kernel-side detect closure factory) for the
     direct / four-step DFT variants.  bf16 casts the MXU contraction
-    operands (see ops/pallas_detect._mxu_dot)."""
+    operands (see ops/pallas_detect._mxu_dot).
+
+    In bf16 mode the DENSE DFT can extend to N <= MAX_DENSE_BF16_N
+    (LORA_MAX_DENSE_BF16_N env knob; default off): one wide [M, N] x
+    [N, N] bf16 contraction replaces the four-step's stage-1 VPU
+    accumulation + narrow stage-2 matmul.  Measured on the v5e with the
+    roll-free kernels (SF10/B=2048) the dense path hits ~43 real TFLOP/s
+    but pays N/(n1+n2) ~ 7.5x the FLOPs and LOSES (payload 6.5 vs 8.4
+    Gsamp/s four-step f32), so the knob defaults to four-step everywhere
+    above MAX_DIRECT_N; dense stays available for re-tuning on parts
+    with a different MXU/VPU balance."""
     const = lambda shape: pl.BlockSpec(
         shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    if N <= MAX_DIRECT_N:
+    if N <= MAX_DIRECT_N or (bf16 and N <= MAX_DENSE_BF16_N):
         fre, fim = _dft_matrix_np(N)
+        dt = jnp.bfloat16 if (bf16 and N > MAX_DIRECT_N) else jnp.float32
         specs = [const((N, N)), const((N, N))]
-        arrays = [jnp.asarray(fre), jnp.asarray(fim)]
+        arrays = [jnp.asarray(fre, dt), jnp.asarray(fim, dt)]
 
         def make(refs):
             fr, fi = (r[:] for r in refs)
@@ -406,6 +418,8 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
         out_specs=[out_spec] * 3,
     )
     kernel = _payload_flat_kernel_factory(N, M, make_det)
+    # the dense bf16 DFT matrices add 2*N^2*2 bytes (4 MB at N=1024)
+    dense_bf16 = bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
     value, power, noise = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -415,7 +429,7 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
             jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 1024 * 1024
+            vmem_limit_bytes=(24 if dense_bf16 else 14) * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * Bp * Rp * N * (min(N, 128) + max(1, N // 128)),
@@ -550,7 +564,9 @@ def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
             jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=(28 if (
+                bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
+            ) else 24) * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * B * rpp * N * (min(N, 128) + max(1, N // 128)),

@@ -26,6 +26,7 @@ LoRaDemod.cpp:108-116, never exists in memory).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,15 @@ from .chirp import _dechirp_table_np
 from .cplx import IQ
 
 MAX_DIRECT_N = 256
+# bf16 mode MAY run the DENSE DFT up to this bound: one wide [M, N] x
+# [N, N] bf16 contraction instead of the four-step's stage-1 VPU
+# accumulation + narrow stage-2 matmul.  Measured on the v5e (roll-free
+# kernels, SF10/B=2048): the dense path reaches ~43 real TFLOP/s but does
+# N/(n1+n2) ~ 7.5x the four-step's FLOPs and LOSES (payload 6.5 vs 8.4
+# Gsamp/s) — so the default keeps the four-step everywhere above
+# MAX_DIRECT_N.  Env knob retained for re-tuning on other parts.
+MAX_DENSE_BF16_N = int(os.environ.get("LORA_MAX_DENSE_BF16_N", "0")) \
+    or MAX_DIRECT_N
 MAX_N = 4096
 _LOG10 = float(np.log(10.0))
 
@@ -271,13 +281,13 @@ def _kernel4(
 
 
 @functools.partial(jax.jit, static_argnames=("down", "interpret", "has_ferr",
-                                              "want_findex", "bf16"))
+                                              "want_findex", "bf16", "tw"))
 def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
                  has_ferr: bool = True, want_findex: bool = True,
-                 bf16: bool = False):
+                 bf16: bool = False, tw: int | None = None):
     """x: IQ [M, N] dechirp windows, ferr: f32 [M]; M % TW == 0."""
     M, N = x.shape
-    TW = _tile_windows(N)
+    TW = tw or _tile_windows(N)
     cre, cim = _dechirp_table_np(N, down)
     from .fft import _dft_matrix_np, _twiddle_np
 
@@ -301,13 +311,14 @@ def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
         jnp.asarray(cim)[None],
         ferr[:, None].astype(jnp.float32),
     ]
-    if N <= MAX_DIRECT_N:
+    if N <= MAX_DIRECT_N or (bf16 and N <= MAX_DENSE_BF16_N):
         kernel = functools.partial(
             _kernel, has_ferr=has_ferr, want_findex=want_findex, bf16=bf16
         )
         fre, fim = _dft_matrix_np(N)
+        dt = jnp.bfloat16 if (bf16 and N > MAX_DIRECT_N) else jnp.float32
         in_specs = common_in + [cspec((N, N)), cspec((N, N))]
-        args = common_args + [jnp.asarray(fre), jnp.asarray(fim)]
+        args = common_args + [jnp.asarray(fre, dt), jnp.asarray(fim, dt)]
         flops = 4 * 2 * M * N * N
     else:
         n1 = 128
@@ -348,7 +359,9 @@ def _detect_flat(x: IQ, ferr: jax.Array, down: bool, interpret: bool,
             jax.ShapeDtypeStruct((M, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 1024 * 1024
+            vmem_limit_bytes=(24 if (
+                bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
+            ) else 14) * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -366,11 +379,13 @@ def supported(N: int) -> bool:
 
 def dechirp_detect_pallas(
     x, down: bool = False, ferr=None, interpret: bool = False,
-    want_findex: bool = True, bf16: bool = False,
+    want_findex: bool = True, bf16: bool = False, tw: int | None = None,
 ):
     """Fused dechirp+detect over windows [..., N] (drop-in for
     detect.dechirp_detect, minus debug mag2).  Power-of-two N up to
-    MAX_N = 4096 (direct DFT to 256, four-step from 512)."""
+    MAX_N = 4096 (direct DFT to 256, four-step from 512).  tw overrides
+    the windows-per-grid-cell tile (tuning sweeps; default
+    _tile_windows(N))."""
     from .detect import DetectResult
 
     x = cplx.as_iq(x)
@@ -386,13 +401,13 @@ def dechirp_detect_pallas(
         fe = jnp.broadcast_to(
             jnp.asarray(ferr, jnp.float32), tuple(lead) if lead else ()
         ).reshape(M)
-    TW = _tile_windows(N)
+    TW = tw or _tile_windows(N)
     pad = (-M) % TW
     if pad:
         xf = cplx.pad(xf, ((0, pad), (0, 0)))
         fe = jnp.pad(fe, (0, pad))
     value, power, noise, findex = _detect_flat(
-        xf, fe, down, interpret, has_ferr, want_findex, bf16
+        xf, fe, down, interpret, has_ferr, want_findex, bf16, tw
     )
 
     def shp(a):

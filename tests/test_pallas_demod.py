@@ -262,6 +262,40 @@ def test_payload_kernel_bf16_same_decisions(N, mtu, rng):
     )
 
 
+def test_payload_kernel_dense_bf16_same_decisions(rng, monkeypatch):
+    """The opt-in dense bf16 DFT branch (LORA_MAX_DENSE_BF16_N; off by
+    default after it measured slower than the four-step on the v5e —
+    ops/pallas_demod._detect_args) stays decision-identical to f32 at
+    N=1024.  jit caches key on static args + shapes only, so the branch
+    flip needs a cache clear around the monkeypatched constant."""
+    from lora_tpu.ops import pallas_detect
+    N, mtu, B = 1024, 20, 4
+    rp = pallas_demod.payload_rows(N, mtu)
+    n = np.arange(N)
+    sym = rng.integers(0, N, (B, rp))
+    ph = 2 * np.pi * ((sym[..., None] + n) ** 2 % (2 * N)) / (2 * N)
+    g = cplx.IQ(
+        jnp.asarray(np.cos(ph) + 0.1 * rng.standard_normal((B, rp, N)),
+                    jnp.float32),
+        jnp.asarray(np.sin(ph) + 0.1 * rng.standard_normal((B, rp, N)),
+                    jnp.float32),
+    )
+    rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+    fe = jnp.asarray(rng.standard_normal(B) * 0.4, jnp.float32)
+    val32, _, _ = pallas_demod.payload_detect(g, rs, fe, mtu, interpret=True)
+    jax.clear_caches()
+    monkeypatch.setattr(pallas_detect, "MAX_DENSE_BF16_N", 1024)
+    monkeypatch.setattr(pallas_demod, "MAX_DENSE_BF16_N", 1024)
+    try:
+        vald, pwrd, _ = pallas_demod.payload_detect(
+            g, rs, fe, mtu, interpret=True, bf16=True
+        )
+        np.testing.assert_array_equal(np.asarray(val32), np.asarray(vald))
+        assert np.isfinite(np.asarray(pwrd)).all()
+    finally:
+        jax.clear_caches()  # drop the dense-branch traces before restore
+
+
 def test_fused_demod_multiframe(rng):
     cfg = lora_tpu.LoRaConfig(sf=7, cr="4/5", ampl=1.0, mtu=16)
     payload = jnp.asarray(rng.integers(0, 256, (2, 4), dtype=np.uint8))

@@ -104,13 +104,18 @@ def main() -> None:
     fe0 = jnp.zeros(B, jnp.float32)
     jax.block_until_ready(g)
 
-    def step_payload(carry):
+    def step_payload(carry, bf16=False):
         fe = fe0 if carry is None else carry
-        v, p, n = pd.payload_detect(g, rs0, fe, cfg.mtu, interpret=interp)
+        v, p, n = pd.payload_detect(g, rs0, fe, cfg.mtu, interpret=interp,
+                                    bf16=bf16)
         return v, 0.0 * p[:, 0] + fe0
 
     add("payload_detect (fused)", B * Rp * N * 8 + B * M8 * 12,
         B * M8 * win_flops, _timed_chain(step_payload, reps),
+        B * cfg.mtu * N)
+    add("payload_detect (fused, bf16)", B * Rp * N * 8 + B * M8 * 12,
+        B * M8 * win_flops,
+        _timed_chain(lambda c: step_payload(c, bf16=True), reps),
         B * cfg.mtu * N)
 
     # ---- direct payload kernel (gather-free: reads the [B, W, N] view) ----
@@ -120,29 +125,38 @@ def main() -> None:
         q0 = jnp.asarray(rng.integers(0, Wd - Rp + 1, B), jnp.int32)
         jax.block_until_ready(x3)
 
-        def step_direct(carry):
+        def step_direct(carry, bf16=False):
             fe = fe0 if carry is None else carry
             v, p, n = pd.payload_detect_direct(
-                x3, q0, rs0, fe, cfg.mtu, interpret=interp
+                x3, q0, rs0, fe, cfg.mtu, interpret=interp, bf16=bf16
             )
             return v, 0.0 * p[:, 0] + fe0
 
         add("payload_detect_direct (gather-free)",
             B * Wd * N * 8 + B * M8 * 12, B * M8 * win_flops,
             _timed_chain(step_direct, reps), B * cfg.mtu * N)
+        add("payload_detect_direct (gather-free, bf16)",
+            B * Wd * N * 8 + B * M8 * 12, B * M8 * win_flops,
+            _timed_chain(lambda c: step_direct(c, bf16=True), reps),
+            B * cfg.mtu * N)
 
     # ---- fused track kernel (sync scan + CFO) -----------------------------
     xs = IQ(r2((B, pd.TRACK_ROWS, N)), r2((B, pd.TRACK_ROWS, N)))
     jax.block_until_ready(xs)
 
-    def step_track(carry):
+    def step_track(carry, bf16=False):
         rs = rs0 if carry is None else carry
-        tr = pd.track(xs, rs, cfg.sync, cfg.thresh, interpret=interp)
+        tr = pd.track(xs, rs, cfg.sync, cfg.thresh, interpret=interp,
+                      bf16=bf16)
         return tr["freq_error"], (rs0 + 0 * tr["k_sync"]) % N
 
     n_det = 2 * pd.N_SCAN + 2
     add("track (sync scan+CFO)", B * pd.TRACK_ROWS * N * 8,
         B * n_det * win_flops, _timed_chain(step_track, reps),
+        B * pd.N_TRACK_WIN * N)
+    add("track (sync scan+CFO, bf16)", B * pd.TRACK_ROWS * N * 8,
+        B * n_det * win_flops,
+        _timed_chain(lambda c: step_track(c, bf16=True), reps),
         B * pd.N_TRACK_WIN * N)
 
     # ---- direct track kernel (gather-free: reads the [B, W, N] view) ------
@@ -154,15 +168,20 @@ def main() -> None:
         )
         jax.block_until_ready(xt3)
 
-        def step_track_direct(carry):
+        def step_track_direct(carry, bf16=False):
             rs = rs0 if carry is None else carry
             tr = pd.track_direct(
-                xt3, qt0, rs, cfg.sync, cfg.thresh, interpret=interp
+                xt3, qt0, rs, cfg.sync, cfg.thresh, interpret=interp,
+                bf16=bf16,
             )
             return tr["freq_error"], (rs0 + 0 * tr["k_sync"]) % N
 
         add("track_direct (gather-free)", B * Wt * N * 8,
             B * n_det * win_flops, _timed_chain(step_track_direct, reps),
+            B * pd.N_TRACK_WIN * N)
+        add("track_direct (gather-free, bf16)", B * Wt * N * 8,
+            B * n_det * win_flops,
+            _timed_chain(lambda c: step_track_direct(c, bf16=True), reps),
             B * pd.N_TRACK_WIN * N)
 
     # ---- batched detector (dechirp+DFT+peak, no roll) ---------------------

@@ -281,6 +281,40 @@ def sweep_channelizer(K: int, T: int, S: int, groups):
         ))
 
 
+def sweep_detect(N: int, M: int, tws, bf16=False):
+    """Windows/grid-cell TW for the batched coarse detector
+    (ops/pallas_detect._tile_windows): M flat [N] windows, coarse-mode
+    call shape (no derotator, no findex) — the config-3 demod bank's
+    dominant stage at SF7."""
+    from lora_tpu.ops import pallas_detect as pdet
+
+    rng = np.random.default_rng(0)
+    r2 = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x = IQ(r2((M, N)), r2((M, N)))
+    jax.block_until_ready(x)
+    base = None
+    for tw in tws:
+        if M % tw:
+            continue
+        try:
+            s = _timed(lambda xx, _tw=tw: pdet.dechirp_detect_pallas(
+                xx, want_findex=False, bf16=bf16, tw=_tw
+            ).value, (x,))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"kernel": "detect", "N": N, "TW": tw,
+                              "bf16": bf16, "error": repr(e)[:200]}),
+                  flush=True)
+            continue
+        if base is None:
+            base = s
+        print(json.dumps({
+            "kernel": "detect", "N": N, "M": M, "TW": tw, "bf16": bf16,
+            "ms": round(s * 1e3, 3),
+            "Gsamp/s": round(M * N / s / 1e9, 2),
+            "vs_first": round(base / s, 2),
+        }), flush=True)
+
+
 def crash_retest(N: int, B: int):
     """The round-2 kernels crashed the TPU worker at N >= 2048 & B > ~96;
     the round-3 restructuring (8-aligned sublane slices, remainder barrel
@@ -318,7 +352,16 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--crash-retest", action="store_true",
                     help="only run the N>=2048 stability retest")
+    ap.add_argument("--detect", action="store_true",
+                    help="only run the coarse-detector TW sweep")
     args = ap.parse_args()
+
+    if args.detect:
+        M = 1 << (17 if args.quick else 19)  # ~8192 ch x 64 win at SF7
+        for bf16 in (False, True):
+            sweep_detect(128, M, (64, 128, 256, 512, 1024), bf16)
+            sweep_detect(1024, M >> 3, (32, 64, 128, 256), bf16)
+        return
 
     if args.crash_retest:
         for N, B in ((2048, 128), (2048, 512), (4096, 128),
