@@ -79,6 +79,10 @@ def _channelize_demod_step(
     Bw, _, M = y.shape
     bank = y.reshape(Bw * K, M)
     dem = demodulate(bank, cfg, max_frames=max_frames, fused=fused)
+    # reshape the [Bw*K, ...] result leaves to [Bw, K, ...] INSIDE the jit:
+    # done eagerly in the wrapper it was one dispatch per leaf (~13 extra
+    # tunnel RPCs per step, a measurable slice of the config-3 dispatch)
+    dem = jax.tree.map(lambda a: a.reshape(Bw, K, *a.shape[1:]), dem)
     return dem, new_state
 
 
@@ -110,9 +114,8 @@ def channelized_demodulate(
     dem, new_state = _channelize_demod_step(
         wb, K, cfg, taps_per_phase, max_frames, state, fused
     )
-    Bw = wb.shape[0]
-    lead = (K,) if squeeze else (Bw, K)
-    dem = jax.tree.map(lambda a: a.reshape(*lead, *a.shape[1:]), dem)
+    if squeeze:
+        dem = jax.tree.map(lambda a: a[0], dem)
     return dem, new_state
 
 

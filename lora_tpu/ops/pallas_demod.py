@@ -148,6 +148,14 @@ def payload_direct_pc(N: int, mtu: int, W: int, B: int) -> int | None:
     pc_cap = min(
         1024 // rpp, _FLAT_MAX // (rpp * N), (8 << 20) // (W * N * 16)
     )
+    if N <= 256:
+        # measured on the v5e at the config-3 geometry (SF7, B=8192,
+        # mtu=50, tools/tune_kernels.py --config3): PC=8 runs the kernel
+        # in 11.4 ms where the PC=16 production stage took ~15 ms —
+        # smaller cells pipeline the per-cell scalar-prefetch + dynamic
+        # slice path better at small N (same shape as the round-3 track
+        # TC sweep, _track_tc).
+        pc_cap = min(pc_cap, 8)
     if pc_cap < 1:
         return None
     pc = max(d for d in range(1, pc_cap + 1) if B % d == 0)

@@ -56,6 +56,13 @@ def _tile_windows(N: int) -> int:
     # keep ~6-8 [TW, N] f32 temporaries + double-buffered input tiles
     # comfortably under the ~16 MB VMEM budget (N=4096 measured 116 KB over
     # the scoped limit at TW=32 under vmap batching, hence the lower cap)
+    if N <= 256:
+        # measured on the v5e (tools/tune_kernels.py --detect, M=512k):
+        # N=128 runs 6.1 Gsamp/s at TW=128 but 8.4-8.8 at TW=256-1024 in
+        # both f32 and bf16 — the [TW, N] matmul is too short at 128 rows
+        # to hide the grid-step overhead.  256 keeps the pad waste of
+        # small banks bounded (M rounds up to TW).
+        return 256
     tw = max(8, min(128, (1 << 19) // (N * 4)))
     return min(tw, 16) if N >= 4096 else tw
 

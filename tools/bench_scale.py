@@ -105,7 +105,7 @@ def _config3(args, on_tpu, rng, r2, api, jax, jnp, cplx, IQ,
               flush=True)
         if ok:
             mode = "bf16"
-    for S in (16, 64, 128) if on_tpu else (2,):
+    for S in (16, 64, 128, 256) if on_tpu else (2,):
         wide = IQ(r2((S, T)), r2((S, T)))
         jax.block_until_ready(wide)
         # warm the timed program (compile out of the loop)

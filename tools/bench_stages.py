@@ -52,6 +52,8 @@ def main() -> None:
     ap.add_argument("--B", type=int, default=2048)
     ap.add_argument("--sf", type=int, default=10)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--payload", type=int, default=32,
+                    help="payload bytes (32 = headline; 16 = config-3)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -69,12 +71,14 @@ def main() -> None:
 
     B = args.B if not args.cpu else 4
     cfg = LoRaConfig(sf=args.sf, cr="4/8", ampl=1.0)
-    cfg = cfg.replace(mtu=cfg.num_symbols(32) + 4)
+    cfg = cfg.replace(mtu=cfg.num_symbols(args.payload) + 4)
     T = dm.required_samples(cfg)
     N = cfg.N
 
     rng = np.random.default_rng(0)
-    payload = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    payload = jnp.asarray(
+        rng.integers(0, 256, (B, args.payload), dtype=np.uint8)
+    )
     iq = api.modulate(api.encode(payload, cfg), cfg)
     iq = cplx.pad(iq, ((0, 0), (0, max(0, T - iq.shape[-1]))))[:, :T]
     iq = IQ(

@@ -156,7 +156,7 @@ def sweep_payload_direct(N: int, B: int, mtu: int, pcs, bf16=False):
     jax.block_until_ready(x3)
     base = None
     for pc in pcs:
-        if B % pc or pc * rp > 1024 or pc * rp * N * 16 > 100 * (1 << 20):
+        if B % pc or pc * rp > 4096 or pc * rp * N * 16 > 100 * (1 << 20):
             continue
         orig = pd.payload_direct_pc
         pd.payload_direct_pc = functools.lru_cache(maxsize=None)(
@@ -354,13 +354,30 @@ def main():
                     help="only run the N>=2048 stability retest")
     ap.add_argument("--detect", action="store_true",
                     help="only run the coarse-detector TW sweep")
+    ap.add_argument("--N", type=int, default=0,
+                    help="restrict --detect to one N (128 or 1024)")
+    ap.add_argument("--config3", action="store_true",
+                    help="only sweep the config-3 payload_direct geometry")
+    ap.add_argument("--pcs", type=int, nargs="*", default=(),
+                    help="PC values for --config3 (default 8 16 32 64)")
+    ap.add_argument("--bf16", type=int, default=-1,
+                    help="--config3: 0=f32 only, 1=bf16 only, -1=both")
     args = ap.parse_args()
 
     if args.detect:
         M = 1 << (17 if args.quick else 19)  # ~8192 ch x 64 win at SF7
         for bf16 in (False, True):
-            sweep_detect(128, M, (64, 128, 256, 512, 1024), bf16)
-            sweep_detect(1024, M >> 3, (32, 64, 128, 256), bf16)
+            if args.N in (0, 128):
+                sweep_detect(128, M, (64, 128, 256, 512, 1024), bf16)
+            if args.N in (0, 1024):
+                sweep_detect(1024, M >> 3, (32, 64, 128, 256), bf16)
+        return
+
+    if args.config3:
+        # config-3 demod-bank geometry: SF7, 8192 channels, mtu=50
+        pcs = tuple(args.pcs) or (8, 16, 32, 64)
+        for bf16 in ((False, True) if args.bf16 < 0 else (bool(args.bf16),)):
+            sweep_payload_direct(128, 8192, 50, pcs, bf16)
         return
 
     if args.crash_retest:
