@@ -9,13 +9,17 @@ Pipeline under test (one real chip):
   device thread: H2D -> ONE jit program (demodulate + decode) ->
                  readback of the compact outputs (found/status/length)
 
-Two transfer modes:
+Three transfer modes:
   --host-convert   convert cs16 -> planar f32 on the HOST (native
                    libiqio), ship f32 (8 B/sample over the link)
-  (default)        ship the raw int16 wire block and convert ON DEVICE
-                   inside the same jit program (4 B/sample — halves the
-                   link traffic; the cast+deinterleave fuses into the
-                   demod program's first pass)
+  --interleaved    ship the raw interleaved int16 wire block and
+                   deinterleave ON DEVICE (4 B/sample, but the strided
+                   int16 deinterleave is a costly TPU relayout —
+                   measured 434 Msamp/s compute-only vs ~3 G without)
+  (default)        host deinterleaves cs16 -> PLANAR int16 (a cheap
+                   numpy stride copy on the ingest thread), device does
+                   only cast+scale (4 B/sample on the link, no device
+                   relayout — best of both)
 
 Reported:
   * measured aggregate Msamp/s end-to-end (wall), frames recovered
@@ -57,6 +61,8 @@ def main() -> None:
     ap.add_argument("--slab", type=int, default=2048)
     ap.add_argument("--host-convert", action="store_true",
                     help="convert on host, ship planar f32")
+    ap.add_argument("--interleaved", action="store_true",
+                    help="ship raw interleaved wire, deinterleave on device")
     ap.add_argument("--payload", type=int, default=32)
     args = ap.parse_args()
     if args.cpu:
@@ -99,11 +105,29 @@ def main() -> None:
     scale = np.float32(1.0 / 8192.0)
     del re, im
 
+    if args.host_convert:
+        mode = "host-convert/f32"
+    elif args.interleaved:
+        mode = "device-deinterleave/int16"
+    else:
+        mode = "planar-int16"
+
     # ---- the device program: (convert +) demod + decode in ONE dispatch --
     @jax.jit
     def step_wire(w16):
+        # interleaved wire: the strided int16 deinterleave is a costly
+        # TPU relayout (measured 434 Msamp/s compute-only at SF10/B=2048
+        # vs multi-G without) — kept as the --interleaved comparison mode
         x = w16.astype(jnp.float32) * scale
         xb = cplx.IQ(x[:, 0::2], x[:, 1::2])
+        dem = api.demodulate(xb, cfg)
+        dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
+        return dem.found, dec.status, dec.length
+
+    @jax.jit
+    def step_planar16(r16, i16):
+        xb = cplx.IQ(r16.astype(jnp.float32) * scale,
+                     i16.astype(jnp.float32) * scale)
         dem = api.demodulate(xb, cfg)
         dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
         return dem.found, dec.status, dec.length
@@ -114,28 +138,40 @@ def main() -> None:
         dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
         return dem.found, dec.status, dec.length
 
+    def host_blocks():
+        """One slab's queue payload, converted per `mode` (timed)."""
+        t0 = time.perf_counter()
+        if args.host_convert:
+            r, i = iqio.convert(wire.reshape(-1), "cs16", float(scale))
+            blk = (r.reshape(slab, T), i.reshape(slab, T))
+        elif args.interleaved:
+            blk = wire
+        else:  # planar int16: a cheap strided numpy copy on the host
+            blk = (np.ascontiguousarray(wire[:, 0::2]),
+                   np.ascontiguousarray(wire[:, 1::2]))
+        t_convert[0] += time.perf_counter() - t0
+        return blk
+
+    def dispatch(blk):
+        if args.host_convert:
+            return step_f32(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+        if args.interleaved:
+            return step_wire(jnp.asarray(blk))
+        return step_planar16(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+
     # compile + device warmup outside the timed region
-    if args.host_convert:
-        r0, i0 = iqio.convert(wire[0], "cs16", float(scale))
-        out = step_f32(jnp.asarray(np.broadcast_to(r0, (slab, T))),
-                       jnp.asarray(np.broadcast_to(i0, (slab, T))))
-    else:
-        out = step_wire(jnp.asarray(wire))
+    t_convert = [0.0]
+    blk0 = host_blocks()
+    out = dispatch(blk0)
     np.asarray(out[0])
+    t_convert[0] = 0.0
 
     # ---- ingest thread ----------------------------------------------------
     q: "queue.Queue" = queue.Queue(maxsize=2)
-    t_convert = [0.0]
 
     def ingest():
         for _ in range(n_slabs):
-            if args.host_convert:
-                t0 = time.perf_counter()
-                r, i = iqio.convert(wire.reshape(-1), "cs16", float(scale))
-                t_convert[0] += time.perf_counter() - t0
-                q.put((r.reshape(slab, T), i.reshape(slab, T)))
-            else:
-                q.put(wire)  # raw wire block; device converts
+            q.put(host_blocks())
         q.put(None)
 
     # ---- timed end-to-end run ----------------------------------------------
@@ -147,10 +183,7 @@ def main() -> None:
         blk = q.get()
         if blk is None:
             break
-        if args.host_convert:
-            out = step_f32(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
-        else:
-            out = step_wire(jnp.asarray(blk))
+        out = dispatch(blk)
         if pending is not None:  # depth-1 pipeline: overlap readback
             found_total += int(np.asarray(pending[0]).sum())
             ok_total += int((np.asarray(pending[1]) == OK).sum())
@@ -164,23 +197,28 @@ def main() -> None:
     n_rt = rate_e2e * 1e6 / 0.5e6
 
     # ---- compute-only rate (resident input, chained dispatches) -----------
-    if args.host_convert:
-        rd = jnp.asarray(blk0r := np.broadcast_to(r0, (slab, T)).copy())
-        idv = jnp.asarray(np.broadcast_to(i0, (slab, T)).copy())
-        stepc = lambda eps: step_f32(rd + eps, idv)
-        del blk0r
-    else:
+    if args.interleaved:
         wdev = jnp.asarray(wire)
-        stepc = lambda eps: step_wire(wdev + eps.astype(jnp.int16))
-    out = stepc(jnp.float32(0) if args.host_convert else jnp.int32(0))
+        stepc = lambda eps: step_wire(wdev + eps)
+        eps0 = jnp.int16(0)
+    elif args.host_convert:
+        rd = jnp.asarray(blk0[0])
+        idv = jnp.asarray(blk0[1])
+        stepc = lambda eps: step_f32(rd + eps, idv)
+        eps0 = jnp.float32(0)
+    else:
+        rd = jnp.asarray(blk0[0])
+        idv = jnp.asarray(blk0[1])
+        stepc = lambda eps: step_planar16(rd + eps, idv)
+        eps0 = jnp.int16(0)
+    out = stepc(eps0)
     np.asarray(out[0])
     reps = 4
     tc0 = time.perf_counter()
-    eps = jnp.float32(0) if args.host_convert else jnp.int32(0)
+    eps = eps0
     for _ in range(reps):
         out = stepc(eps)
-        eps = (out[2].ravel()[0] * 0).astype(
-            jnp.float32 if args.host_convert else jnp.int32)
+        eps = (out[2].ravel()[0] * 0).astype(eps0.dtype)
     np.asarray(out[0])
     dt_c = (time.perf_counter() - tc0) / reps
     rate_c = slab * T / dt_c / 1e6
@@ -190,8 +228,7 @@ def main() -> None:
     rec = {
         "bench": "config5_e2e",
         "channels": B, "slab": slab, "slabs": n_slabs, "T": T,
-        "mode": "host-convert/f32" if args.host_convert else
-                "device-convert/int16",
+        "mode": mode,
         "measured_Msamp_s": round(rate_e2e, 1),
         "measured_rt_channels_500kHz": round(n_rt, 1),
         "frames_found": found_total, "frames_decoded_ok": ok_total,
