@@ -53,46 +53,49 @@ def main() -> None:
     )
     jax.block_until_ready(iq)
 
+    # Chain discipline (hard-won on this backend): EVERYTHING per rep must
+    # live inside ONE jit — an eager big-array add costs ~600 ms/rep, and
+    # even eager SCALAR derivations (ravel()[0] * 0) pay remote eager-op
+    # compiles that swamped a 53 ms step as 700-3000 ms.  Each jit returns
+    # (big_out, eps_next) so the host loop only passes device scalars.
     @jax.jit
-    def demod_only(x):
+    def demod_only(x, eps):
+        x = cplx.IQ(x.re + eps, x.im)
         d = api.demodulate(x, cfg)
-        return d.symbols, d.found
+        return d.symbols, (d.symbols.ravel()[0] * 0).astype(jnp.float32)
 
     @jax.jit
-    def demod_decode(x):
+    def demod_decode(x, eps):
+        x = cplx.IQ(x.re + eps, x.im)
         d = api.demodulate(x, cfg)
         dec = api.decode(d.symbols.astype(jnp.int32), cfg)
-        return d.symbols, dec.status
+        return dec.status, (dec.status.ravel()[0] * 0).astype(jnp.float32)
 
     @jax.jit
-    def decode_only(sym):
-        dec = api.decode(sym, cfg)
-        return dec.status, dec.length
+    def decode_only(sym, eps):
+        dec = api.decode(sym + eps, cfg)
+        return dec.status, dec.status.ravel()[0] * 0
 
-    def chain(fn, x0, mk):
-        out = fn(x0)
-        np.asarray(out[0])
-        out = fn(x0)
-        np.asarray(out[0])
+    def chain(fn, x0, zero):
+        out, eps = fn(x0, zero)
+        np.asarray(out)
+        out, eps = fn(x0, zero)
+        np.asarray(out)
         t0 = time.perf_counter()
-        eps = None
         for _ in range(args.reps):
-            out = fn(x0 if eps is None else mk(x0, eps))
-            eps = out[1].ravel()[0] * 0
-        np.asarray(out[0])
+            out, eps = fn(x0, eps)
+        np.asarray(out)
         return (time.perf_counter() - t0) / args.reps
 
-    s_dem = chain(demod_only, iq,
-                  lambda x, e: cplx.IQ(x.re + e.astype(jnp.float32), x.im))
+    s_dem = chain(demod_only, iq, jnp.float32(0))
     print(json.dumps({"stage": "demod only", "ms": round(s_dem * 1e3, 1)}),
           flush=True)
-    s_both = chain(demod_decode, iq,
-                   lambda x, e: cplx.IQ(x.re + e.astype(jnp.float32), x.im))
+    s_both = chain(demod_decode, iq, jnp.float32(0))
     print(json.dumps({"stage": "demod+decode", "ms": round(s_both * 1e3, 1)}),
           flush=True)
-    sym = demod_only(iq)[0].astype(jnp.int32)
+    sym = api.demodulate(iq, cfg).symbols.astype(jnp.int32)
     jax.block_until_ready(sym)
-    s_dec = chain(decode_only, sym, lambda s, e: s + e.astype(jnp.int32))
+    s_dec = chain(decode_only, sym, jnp.int32(0))
     print(json.dumps({
         "stage": "decode only", "ms": round(s_dec * 1e3, 1),
         "us_per_frame": round(s_dec / B * 1e6, 1),

@@ -197,29 +197,46 @@ def main() -> None:
     n_rt = rate_e2e * 1e6 / 0.5e6
 
     # ---- compute-only rate (resident input, chained dispatches) -----------
+    # everything per rep lives inside ONE jit (returning the next eps as a
+    # device scalar): eager big-array adds cost ~600 ms/rep on this
+    # backend, and even eager scalar derivations pay remote eager-op
+    # compiles — both swamped earlier versions of this number
     if args.interleaved:
         wdev = jnp.asarray(wire)
-        stepc = lambda eps: step_wire(wdev + eps)
+
+        @jax.jit
+        def stepc(e):
+            out = step_wire(wdev + e)
+            return out[0], (out[2].ravel()[0] * 0).astype(jnp.int16)
+
         eps0 = jnp.int16(0)
     elif args.host_convert:
         rd = jnp.asarray(blk0[0])
         idv = jnp.asarray(blk0[1])
-        stepc = lambda eps: step_f32(rd + eps, idv)
+
+        @jax.jit
+        def stepc(e):
+            out = step_f32(rd + e, idv)
+            return out[0], (out[2].ravel()[0] * 0).astype(jnp.float32)
+
         eps0 = jnp.float32(0)
     else:
         rd = jnp.asarray(blk0[0])
         idv = jnp.asarray(blk0[1])
-        stepc = lambda eps: step_planar16(rd + eps, idv)
+
+        @jax.jit
+        def stepc(e):
+            out = step_planar16(rd + e, idv)
+            return out[0], (out[2].ravel()[0] * 0).astype(jnp.int16)
+
         eps0 = jnp.int16(0)
-    out = stepc(eps0)
-    np.asarray(out[0])
+    out, eps = stepc(eps0)
+    np.asarray(out)
     reps = 4
     tc0 = time.perf_counter()
-    eps = eps0
     for _ in range(reps):
-        out = stepc(eps)
-        eps = (out[2].ravel()[0] * 0).astype(eps0.dtype)
-    np.asarray(out[0])
+        out, eps = stepc(eps)
+    np.asarray(out)
     dt_c = (time.perf_counter() - tc0) / reps
     rate_c = slab * T / dt_c / 1e6
 
