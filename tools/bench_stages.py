@@ -34,19 +34,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _timed_chain(step, reps: int) -> float:
-    out, carry = step(None)
-    np.asarray(out)
-    out, carry = step(None)
-    np.asarray(out)
-    t0 = time.perf_counter()
-    carry = None
-    for _ in range(reps):
-        out, carry = step(carry)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / reps
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--B", type=int, default=2048)
@@ -92,89 +79,80 @@ def main() -> None:
     xb_p, head, fine_total, t0v = dm._head_stage(iq, cfg, 1, fused)
     jax.block_until_ready(t0v)
 
-    def dep(x, carry):
-        """Chain dependency: perturb input by 0 * (scalar of prev out)."""
-        if carry is None:
-            return x
-        z = carry * 0.0
-        return IQ(x.re + z, x.im)
-
     rows = []
 
     def add(name, s):
         rows.append({"stage": name, "ms": round(s * 1e3, 3)})
         print(json.dumps(rows[-1]), flush=True)
 
+    # Chain discipline: the ENTIRE rep lives in one jit — the input
+    # perturbation, the stage, and the next-eps derivation.  Eager ops in
+    # the loop (the old dep()/jnp.max carries) serialize against pending
+    # work and pay per-op tunnel RPCs; big-array step outputs additionally
+    # made the final readback pull hundreds of MB through the ~30 MB/s
+    # tunnel (the old gather rows printed 290-936 ms for <5 ms stages).
+    def chained(stage_of, base=None):
+        """stage_of(x) -> probe array, or (probe, keep) where `keep` is a
+        big intermediate returned as an (unfetched) jit output so XLA
+        cannot DCE its HBM write out of the measured stage."""
+        src = iq if base is None else base
+
+        @jax.jit
+        def f(eps):
+            out = stage_of(IQ(src.re + eps, src.im))
+            probe, keep = out if isinstance(out, tuple) else (out, ())
+            return probe, (probe.ravel()[0] * 0).astype(jnp.float32), keep
+
+        return f
+
+    def timeit(f):
+        out, eps, _ = f(jnp.float32(0))
+        np.asarray(out)
+        out, eps, _ = f(jnp.float32(0))
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out, eps, _ = f(eps)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / args.reps
+
     def _coarse_align(x):
         cv, csnr, cpwr = dm._coarse_detect(x, cfg, False)
-        return jax.vmap(
+        out = jax.vmap(
             lambda v, s, p: dm._align_frame(v, s, p, cfg, x.shape[-1])
         )(cv, csnr, cpwr)
+        return out[1]
 
-    coarse_fn = jax.jit(_coarse_align)
+    add("coarse(align)", timeit(chained(_coarse_align)))
 
-    def step_coarse(carry):
-        out = coarse_fn(dep(iq, carry))
-        return out[1], jnp.max(out[1]).astype(jnp.float32)
+    def _trackg(x):
+        g = shift_ops.gather_rows(x, t0v // N, pallas_demod.TRACK_ROWS, N)
+        return g.re[:, 0, :1], g
 
-    add("coarse(align)", _timed_chain(step_coarse, args.reps))
+    add("track-gather", timeit(chained(_trackg)))
 
-    tg_fn = jax.jit(
-        lambda x, t: shift_ops.gather_rows(
-            x, t // N, pallas_demod.TRACK_ROWS, N
-        )
-    )
-
-    def step_trackg(carry):
-        g = tg_fn(dep(iq, carry), t0v)
-        return g.re, jnp.sum(g.re[:, 0, 0])
-
-    add("track-gather", _timed_chain(step_trackg, args.reps))
-
-    head_fn = jax.jit(
+    add("head(total)", timeit(chained(
         lambda x: dm._head_stage(x, cfg, 1, fused)[3]
-    )
+    )))
 
-    def step_head(carry):
-        t = head_fn(dep(iq, carry))
-        return t, jnp.max(t).astype(jnp.float32)
-
-    add("head(total)", _timed_chain(step_head, args.reps))
-
-    pg_fn = jax.jit(
-        lambda x, d: shift_ops.gather_rows(
-            x, d // N, dm._payload_gather_rows(cfg), N
-        )
-    )
     dstart = head.consumed
 
-    def step_paylg(carry):
-        g = pg_fn(dep(xb_p, carry), dstart)
-        return g.re, jnp.sum(g.re[:, 0, 0])
+    def _paylg(x):
+        g = shift_ops.gather_rows(x, dstart // N, dm._payload_gather_rows(cfg), N)
+        return g.re[:, 0, :1], g
 
-    add("payload-gather", _timed_chain(step_paylg, args.reps))
+    add("payload-gather", timeit(chained(_paylg, base=xb_p)))
 
-    pay_fn = jax.jit(
+    add("payload(total)", timeit(chained(
         lambda x: dm._payload_stage(
             x, head, fine_total, t0v, cfg, False, 1, fused
-        ).symbols
-    )
+        ).symbols,
+        base=xb_p,
+    )))
 
-    def step_pay(carry):
-        s = pay_fn(dep(xb_p, carry))
-        return s, jnp.max(s).astype(jnp.float32)
-
-    add("payload(total)", _timed_chain(step_pay, args.reps))
-
-    full_fn = jax.jit(
+    s_full = timeit(chained(
         lambda x: dm._demod_whole(x, cfg, False, 1, fused).symbols
-    )
-
-    def step_full(carry):
-        s = full_fn(dep(iq, carry))
-        return s, jnp.max(s).astype(jnp.float32)
-
-    s_full = _timed_chain(step_full, args.reps)
+    ))
     add("full-step", s_full)
 
     gsps = B * T / s_full / 1e9
