@@ -55,8 +55,9 @@ def main() -> int:
                         raise ValueError("sf must be 7..12")
                     sf = want
                 elif cmd == "/cr":
-                    cr = rest[0]
-                    LoRaConfig(sf=sf, cr=cr)  # validate now, not at TX
+                    want_cr = rest[0]
+                    LoRaConfig(sf=sf, cr=want_cr)  # validate now, not at TX
+                    cr = want_cr  # state mutates only on success
                 elif cmd == "/sync":
                     sync = int(rest[0], 0) & 0xFF
                 elif cmd != "/show":

@@ -28,6 +28,15 @@ from ..ops import cplx
 from ..ops.cplx import IQ
 
 
+def _fetch(a):
+    """Global host value of a (possibly non-addressable) sharded array."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 @dataclasses.dataclass
 class GroupResult:
     """Demod/decode results for one channel (see DemodResult/DecodeResult)."""
@@ -47,12 +56,20 @@ class ChannelDispatcher:
     configs: one LoRaConfig per channel.  Streams may have per-channel
     lengths; each group pads to its own (required_samples, max length) so a
     group is exactly one jit cache entry.
+
+    mesh: an optional jax.sharding.Mesh — each group's bank is then padded
+    to the device count, device_put with the channel sharding, and
+    demodulated via parallel.shard_demodulate, so the expert groups run
+    data-parallel over the mesh (EP routing host-side, DP execution
+    per-expert; padding rows demodulate to found=False and are dropped).
     """
 
-    def __init__(self, configs: Sequence[LoRaConfig], soft: bool = False):
+    def __init__(self, configs: Sequence[LoRaConfig], soft: bool = False,
+                 mesh=None):
         # soft=True decodes every group with the soft-decision path
         # (models/softdec): spectra-mode demod + ML codewords
         self.soft = soft
+        self.mesh = mesh
         self.configs = list(configs)
         self.groups: dict[LoRaConfig, list[int]] = {}
         for ch, cfg in enumerate(self.configs):
@@ -90,10 +107,26 @@ class ChannelDispatcher:
                     )
                 bank_re[i, : re.shape[-1]] = re
                 bank_im[i, : im.shape[-1]] = im
-            dem = demodulate(
-                IQ(jnp.asarray(bank_re), jnp.asarray(bank_im)), cfg,
-                spectra=self.soft,
-            )
+            bank = IQ(jnp.asarray(bank_re), jnp.asarray(bank_im))
+            if self.mesh is not None:
+                import jax
+
+                from .mesh import channel_sharding, shard_demodulate
+
+                ndev = int(self.mesh.devices.size)
+                padb = (-len(members)) % ndev
+                if padb:  # all-zero rows: no preamble run, found=False
+                    bank = cplx.pad(bank, ((0, padb), (0, 0)))
+                bank = jax.device_put(bank, channel_sharding(self.mesh))
+                dem = shard_demodulate(
+                    bank, cfg, self.mesh, spectra=self.soft
+                )
+                # host-side routing needs host values; under multi-process
+                # jax.distributed the shards span non-addressable devices,
+                # so gather the global value (single-process: plain fetch)
+                dem = jax.tree.map(_fetch, dem)
+            else:
+                dem = demodulate(bank, cfg, spectra=self.soft)
             # a frame only counts if its payload fits the buffer — the
             # demodulator's centralized fit check (symbols are truncated
             # garbage when data_start was clamped)

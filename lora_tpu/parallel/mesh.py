@@ -66,16 +66,20 @@ def shard_demodulate(
     mesh: Mesh,
     debug: bool = False,
     max_frames: int = 1,
+    spectra: bool = False,
 ) -> DemodResult:
     """Demodulate a channel bank [B, T] sharded over the whole mesh.
 
     The per-channel program is independent, so a sharding constraint on the
     batch axis is all XLA needs; no collectives are inserted in the hot path.
-    B must be divisible by the device count.
+    B must be divisible by the device count.  spectra=True carries the
+    payload |FFT|^2 windows for soft-decision decoding (demodulate docs).
     """
     sh = channel_sharding(mesh)
     x = jax.lax.with_sharding_constraint(x, sh)
-    return demodulate(x, cfg, debug=debug, max_frames=max_frames)
+    return demodulate(
+        x, cfg, debug=debug, max_frames=max_frames, spectra=spectra
+    )
 
 
 def aggregate_metrics(dem: DemodResult, statuses: Optional[jax.Array] = None):

@@ -28,27 +28,33 @@ has no sanitizer mode at all (CMakeLists.txt:1-47).
 from __future__ import annotations
 
 import contextlib
+import contextvars
+import warnings
 
 import numpy as np
 
-_ARMED = False
+# ContextVar, not a module global: arming is scoped to the arming
+# thread/context, so a concurrent ingest/device pipeline thread (e.g.
+# tools/bench_e2e.py) keeps its unsynchronized fast path, and nested
+# contexts cannot race across threads.
+_ARMED: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "lora_debug_checks", default=False
+)
 
 
 def armed() -> bool:
-    """True while inside a debug_checks() context."""
-    return _ARMED
+    """True while inside a debug_checks() context (in this thread/context)."""
+    return _ARMED.get()
 
 
 @contextlib.contextmanager
 def debug_checks():
     """Context manager arming numeric sanitizer checks on demodulate()."""
-    global _ARMED
-    prev = _ARMED
-    _ARMED = True
+    token = _ARMED.set(True)
     try:
         yield
     finally:
-        _ARMED = prev
+        _ARMED.reset(token)
 
 
 class DemodCheckError(AssertionError):
@@ -63,8 +69,32 @@ def _fail(what: str, where) -> None:
     )
 
 
+_warned_traced = False
+
+
 def check_demod(res, cfg, T: int) -> None:
-    """Host-side assertions on a DemodResult (leading axes arbitrary)."""
+    """Host-side assertions on a DemodResult (leading axes arbitrary).
+
+    When the result leaves are tracers (demodulate invoked inside an
+    outer jit/shard_map trace — api.channelized_demodulate, the halo /
+    dispatch paths), host readback is impossible: skip with a one-time
+    warning instead of crashing the trace.  The spectra re-route in
+    demodulate() still happens under tracing, so armed sharded/streaming
+    runs keep the checkable program; callers wanting the assertions there
+    can check the fetched result explicitly via check_demod()."""
+    import jax
+
+    if isinstance(res.found, jax.core.Tracer):
+        global _warned_traced
+        if not _warned_traced:
+            _warned_traced = True
+            warnings.warn(
+                "debug_checks(): demodulate traced under an outer "
+                "jit/shard_map — host-side sanitizer assertions skipped "
+                "for traced calls (checks still run on un-traced calls)",
+                stacklevel=3,
+            )
+        return
     found = np.asarray(res.found)
     for name in ("power", "snr", "fine_freq"):
         a = np.asarray(getattr(res, name))

@@ -107,3 +107,45 @@ def test_debug_checks_sanitizer(rng):
     # disarmed: same input returns without raising (the silent-garbage
     # behavior the sanitizer exists to expose)
     api.demodulate(bad, cfg)
+
+def test_debug_checks_traced_and_threaded(rng):
+    """Round-4 advisor items: (a) an armed sanitizer must not crash when
+    demodulate is traced under an outer jit (api.channelized_demodulate
+    traces it inside _channelize_demod_step) — traced calls skip the host
+    assertions with a one-time warning; (b) arming is context-scoped, so
+    a concurrent worker thread stays on the unsynchronized fast path."""
+    import threading
+
+    import lora_tpu
+    from lora_tpu.ops import channelizer as chz
+    from lora_tpu.ops import cplx
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    p = rng.integers(0, 256, (1, 4)).astype(np.uint8)
+    nb = api.modulate(api.encode(jnp.asarray(p), cfg), cfg)[0]
+    from lora_tpu.models.demodulator import required_samples
+
+    need = required_samples(cfg)
+    nb = cplx.pad(nb, ((32, need + 64 - nb.shape[-1] - 32),))
+    K, chan = 4, 1
+    wide = chz.upconvert(nb, K, chan)
+    T = (wide.shape[-1] // K) * K
+    wide = wide[..., :T]
+
+    with lora_tpu.debug_checks():
+        # (a) traced demodulate inside the fused channelizer program: must
+        # complete (round-4 advisor repro raised TracerArrayConversionError)
+        dem, _ = api.channelized_demodulate(wide, K, cfg)
+        assert bool(np.asarray(dem.found)[chan])
+
+        # (b) a worker thread spawned inside the context is NOT armed
+        seen = {}
+        t = threading.Thread(
+            target=lambda: seen.setdefault(
+                "armed", lora_tpu.utils.debugcheck.armed()
+            )
+        )
+        t.start()
+        t.join()
+        assert seen["armed"] is False
