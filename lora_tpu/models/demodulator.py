@@ -517,7 +517,13 @@ def _payload_stage(
     T = xb.shape[-1]
     W = T // cfg.N
     B = xb.shape[0]
-    if use_fused and not debug and not spectra:
+    if use_fused and not debug:
+        # spectra=True (the soft-RX route) stays on the fused kernels: they
+        # emit the payload |FFT|^2 windows as an extra output (round-5;
+        # previously this fell back to the unfused XLA path).  Magnitudes
+        # match the XLA spectra (the roll-free alignment's phase factors
+        # drop under |.|^2) and decode_soft decisions are pinned identical
+        # in tests/test_pallas_demod.py.
         direct = (
             max_frames == 1
             and pallas_demod.payload_direct_pc(cfg.N, cfg.mtu, W, B)
@@ -529,9 +535,9 @@ def _payload_stage(
             # channel's rows in VMEM — the gathered intermediate never
             # exists in HBM (ops/pallas_demod.payload_detect_direct)
             x3 = xb[:, : W * cfg.N].reshape(B, W, cfg.N)
-            val, pwr, nse = pallas_demod.payload_detect_direct(
+            out = pallas_demod.payload_detect_direct(
                 x3, data_start // cfg.N, data_start % cfg.N, fine_total,
-                cfg.mtu, interpret=interpret, bf16=bf16,
+                cfg.mtu, interpret=interpret, bf16=bf16, want_mag2=spectra,
             )
         else:
             # fused payload with an XLA row gather (multi-frame candidates
@@ -539,12 +545,17 @@ def _payload_stage(
             g = shift_ops.gather_rows(
                 xb, data_start // cfg.N, _payload_gather_rows(cfg), cfg.N
             )
-            val, pwr, nse = pallas_demod.payload_detect(
+            out = pallas_demod.payload_detect(
                 g, data_start % cfg.N, fine_total, cfg.mtu,
-                interpret=interpret, bf16=bf16,
+                interpret=interpret, bf16=bf16, want_mag2=spectra,
             )
+        if spectra:
+            val, pwr, nse, m2 = out
+        else:
+            (val, pwr, nse), m2 = out, None
         dd = det_ops.DetectResult(
-            value=val, power=pwr, noise=nse, f_index=jnp.zeros_like(pwr)
+            value=val, power=pwr, noise=nse, f_index=jnp.zeros_like(pwr),
+            mag2=m2,
         )
     else:
         xd = shift_ops.shift_windows(

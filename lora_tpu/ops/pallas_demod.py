@@ -253,8 +253,9 @@ def _detect_args(N: int, bf16: bool = False):
         def make(refs):
             fr, fi = (r[:] for r in refs)
 
-            def det(zr, zi, want_findex):
-                return direct_vals(zr, zi, fr, fi, want_findex, bf16)
+            def det(zr, zi, want_findex, want_mag2=False):
+                return direct_vals(zr, zi, fr, fi, want_findex, bf16,
+                                   want_mag2)
 
             return det
 
@@ -272,9 +273,9 @@ def _detect_args(N: int, bf16: bool = False):
     def make(refs):
         f1r, f1i, twr, twi = (r[:] for r in refs)
 
-        def det(zr, zi, want_findex):
+        def det(zr, zi, want_findex, want_mag2=False):
             return four_step_vals(
-                zr, zi, f1r, f1i, twr, twi, w2, want_findex, bf16
+                zr, zi, f1r, f1i, twr, twi, w2, want_findex, bf16, want_mag2
             )
 
         return det
@@ -360,10 +361,12 @@ def _trunc_half_i32(x):
 # flat payload kernel: PC whole channels per cell, no scratch, one detect
 # --------------------------------------------------------------------------
 
-def _payload_flat_kernel_factory(N, M, make_det):
+def _payload_flat_kernel_factory(N, M, make_det, want_mag2=False):
     def kernel(rv, fev, gr, gi, cr, ci, *rest):
-        det_refs = rest[: len(rest) - 3]
-        value, power, noise = rest[len(rest) - 3:]
+        n_out = 4 if want_mag2 else 3
+        det_refs = rest[: len(rest) - n_out]
+        outs = rest[len(rest) - n_out:]
+        value, power, noise = outs[:3]
         det = make_det(det_refs)
         r = rv[:]                                      # (M, 1) int32
         fe = fev[:]                                    # (M, 1) f32
@@ -376,7 +379,11 @@ def _payload_flat_kernel_factory(N, M, make_det):
             vr, vi, pltpu.roll(vr, M - 1, 0), pltpu.roll(vi, M - 1, 0), r
         )
         zr, zi = _dechirp_shift_vals(win_r, win_i, cr[:], ci[:], fe, r, False)
-        val, pwr, nse, _ = det(zr, zi, False)
+        if want_mag2:
+            val, pwr, nse, _, m2 = det(zr, zi, False, True)
+            outs[3][:] = m2
+        else:
+            val, pwr, nse, _ = det(zr, zi, False)
         value[:] = val
         power[:] = pwr
         noise[:] = nse
@@ -385,13 +392,15 @@ def _payload_flat_kernel_factory(N, M, make_det):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mtu", "interpret", "bf16")
+    jax.jit, static_argnames=("mtu", "interpret", "bf16", "want_mag2")
 )
 def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
-                     interpret: bool, bf16: bool = False):
+                     interpret: bool, bf16: bool = False,
+                     want_mag2: bool = False):
     """Flat multi-channel payload kernel.  g: IQ [B, Rp, N] aligned rows
     (Rp = payload_flat_geometry rows); rs: int32 [B]; fe: f32 [B] ->
-    (value i32, power f32, noise f32) [B, mtu]."""
+    (value i32, power f32, noise f32) [B, mtu] (+ mag2 f32 [B, mtu, N]
+    in the detect's lane order when want_mag2 — the soft-RX evidence)."""
     B, Rp, N = g.shape
     rp_need, pc = payload_flat_geometry(N, mtu)
     assert Rp == rp_need, (Rp, rp_need)
@@ -419,29 +428,41 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
         const((1, N)),
     ] + det_specs
     out_spec = pl.BlockSpec((M, 1), row2, memory_space=pltpu.VMEM)
+    out_specs = [out_spec] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
+    ]
+    if want_mag2:
+        out_specs = out_specs + [
+            pl.BlockSpec((M, N), row2, memory_space=pltpu.VMEM)
+        ]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((Bp * Rp, N), jnp.float32)
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Bp // pc,),
         in_specs=in_specs,
-        out_specs=[out_spec] * 3,
+        out_specs=out_specs,
     )
-    kernel = _payload_flat_kernel_factory(N, M, make_det)
-    # the dense bf16 DFT matrices add 2*N^2*2 bytes (4 MB at N=1024)
+    kernel = _payload_flat_kernel_factory(N, M, make_det, want_mag2)
+    # the dense bf16 DFT matrices add 2*N^2*2 bytes (4 MB at N=1024);
+    # the mag2 output adds a double-buffered (M, N) f32 block
     dense_bf16 = bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
-    value, power, noise = pl.pallas_call(
+    vmem_mb = (24 if dense_bf16 else 14) + (8 if want_mag2 else 0)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp * Rp, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(24 if dense_bf16 else 14) * 1024 * 1024
+            vmem_limit_bytes=vmem_mb * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * Bp * Rp * N * (min(N, 128) + max(1, N // 128)),
-            bytes_accessed=Bp * Rp * N * 8 + Bp * Rp * 12,
+            bytes_accessed=Bp * Rp * N * 8 + Bp * Rp * 12
+            + (Bp * Rp * N * 4 if want_mag2 else 0),
             transcendentals=2 * Bp * Rp * N,
         ),
         interpret=interpret,
@@ -450,7 +471,11 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
       g.re.reshape(Bp * Rp, N), g.im.reshape(Bp * Rp, N),
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       *det_arrays)
+    value, power, noise = outs[:3]
     cut = lambda a: a.reshape(Bp, Rp)[:B, :mtu]
+    if want_mag2:
+        m2 = outs[3].reshape(Bp, Rp, N)[:B, :mtu]
+        return cut(value), cut(power), cut(noise), m2
     return cut(value), cut(power), cut(noise)
 
 
@@ -472,12 +497,14 @@ def _remainder_roll(vr, vi, rem, rpp):
     return vr, vi
 
 
-def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det):
+def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det, want_mag2=False):
     M = PC * Rpp
 
     def kernel(q8v, remv, rv, fev, xr, xi, cr, ci, *rest):
-        det_refs = rest[: len(rest) - 3]
-        value, power, noise = rest[len(rest) - 3:]
+        n_out = 4 if want_mag2 else 3
+        det_refs = rest[: len(rest) - n_out]
+        outs = rest[len(rest) - n_out:]
+        value, power, noise = outs[:3]
         det = make_det(det_refs)
         i = pl.program_id(0)
         # per-channel aligned-row selection: a dynamic sublane slice of
@@ -504,7 +531,11 @@ def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det):
         zr, zi = _dechirp_shift_vals(
             win_r, win_i, cr[:], ci[:], fev[:], r, False
         )
-        val, pwr, nse, _ = det(zr, zi, False)
+        if want_mag2:
+            val, pwr, nse, _, m2 = det(zr, zi, False, True)
+            outs[3][:] = m2
+        else:
+            val, pwr, nse, _ = det(zr, zi, False)
         value[:] = val
         power[:] = pwr
         noise[:] = nse
@@ -513,14 +544,16 @@ def _payload_direct_kernel_factory(N, W, Rpp, PC, make_det):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mtu", "interpret", "bf16")
+    jax.jit, static_argnames=("mtu", "interpret", "bf16", "want_mag2")
 )
 def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
-                    mtu: int, interpret: bool, bf16: bool = False):
+                    mtu: int, interpret: bool, bf16: bool = False,
+                    want_mag2: bool = False):
     """Direct payload kernel.  x3: IQ [B, W, N] whole-buffer row view;
     q: int32 [B] aligned-row offsets (data_start // N); rs: int32 [B]
     sub-window shifts; fe: f32 [B] -> (value i32, power f32, noise f32)
-    [B, mtu].  Output-identical to
+    [B, mtu] (+ mag2 f32 [B, mtu, N], detect lane order, when
+    want_mag2).  Output-identical to
     payload_detect(gather_rows(x, q, Rp, N), rs, fe, mtu)."""
     B, W, N = x3.shape
     pc = payload_direct_pc(N, mtu, W, B)
@@ -556,29 +589,42 @@ def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
     out_spec = pl.BlockSpec(
         (M, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
+    out_specs = [out_spec] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((B * rpp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
+    ]
+    if want_mag2:
+        out_specs = out_specs + [pl.BlockSpec(
+            (M, N), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        )]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((B * rpp, N), jnp.float32)
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // pc,),
         in_specs=in_specs,
-        out_specs=[out_spec] * 3,
+        out_specs=out_specs,
     )
-    kernel = _payload_direct_kernel_factory(N, W, rpp, pc, make_det)
-    value, power, noise = pl.pallas_call(
+    kernel = _payload_direct_kernel_factory(
+        N, W, rpp, pc, make_det, want_mag2
+    )
+    vmem_mb = (28 if (
+        bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
+    ) else 24) + (8 if want_mag2 else 0)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * rpp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B * rpp, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(28 if (
-                bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
-            ) else 24) * 1024 * 1024
+            vmem_limit_bytes=vmem_mb * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * B * rpp * N * (min(N, 128) + max(1, N // 128)),
-            bytes_accessed=B * W * N * 8 + B * rpp * 12,
+            bytes_accessed=B * W * N * 8 + B * rpp * 12
+            + (B * rpp * N * 4 if want_mag2 else 0),
             transcendentals=2 * B * rpp * N,
         ),
         interpret=interpret,
@@ -589,26 +635,49 @@ def _payload_direct(x3: IQ, q: jax.Array, rs: jax.Array, fe: jax.Array,
       x3.re, x3.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       *det_arrays)
+    value, power, noise = outs[:3]
     cut = lambda a: a.reshape(B, rpp)[:, :mtu]
+    if want_mag2:
+        m2 = outs[3].reshape(B, rpp, N)[:, :mtu]
+        return cut(value), cut(power), cut(noise), m2
     return cut(value), cut(power), cut(noise)
 
 
 def payload_detect_direct(x3, q, rs, fe, mtu: int, interpret: bool = False,
-                          bf16: bool = False):
+                          bf16: bool = False, want_mag2: bool = False):
     """Gather-free fused payload stage: whole-buffer row view x3
     (IQ [B, W, N]), per-channel aligned-row offset q = data_start // N,
     sub-window shift rs = data_start % N and fine CFO fe ->
     (value, power, noise) [B, mtu].  Bit-identical to
     payload_detect(shift.gather_rows(x, q, payload_rows, N), rs, fe, mtu)
     but the gathered rows never exist in HBM; use when
-    payload_direct_pc(N, mtu, W, B) is not None."""
+    payload_direct_pc(N, mtu, W, B) is not None.
+
+    want_mag2=True appends the payload |FFT|^2 windows [B, mtu, N] in
+    NATURAL bin order (the kernel's group-major lane layout is restored
+    with one static gather) — the soft-RX evidence (models/softdec)."""
     x3 = cplx.as_iq(x3)
     B, W, N = x3.shape
-    value, power, noise = _payload_direct(
+    out = _payload_direct(
         x3, jnp.asarray(q), jnp.asarray(rs), jnp.asarray(fe), mtu,
-        interpret, bf16,
+        interpret, bf16, want_mag2,
     )
-    return value, power, noise
+    if want_mag2:
+        value, power, noise, m2 = out
+        return value, power, noise, _natural_mag2(m2, N, bf16)
+    return out
+
+
+def _natural_mag2(m2: jax.Array, N: int, bf16: bool) -> jax.Array:
+    """Restore natural bin order on a kernel-emitted spectrum [..., N]
+    (four-step detects emit group-major lanes; see
+    pallas_detect.detect_bin_order)."""
+    from .pallas_detect import detect_bin_order
+
+    perm = detect_bin_order(N, bf16)
+    if perm is None:
+        return m2
+    return jnp.take(m2, jnp.asarray(perm), axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -616,10 +685,13 @@ def payload_detect_direct(x3, q, rs, fe, mtu: int, interpret: bool = False,
 # (fallback for mtu x N too large for a whole-channel flat block)
 # --------------------------------------------------------------------------
 
-def _payload_kernel_factory(N, TWM, tiles, make_det):
+def _payload_kernel_factory(N, TWM, tiles, make_det, want_mag2=False):
+    n_out = 4 if want_mag2 else 3
+
     def kernel(rs, fes, ar, ai, br, bi, cr, ci, *rest):
-        det_refs = rest[: len(rest) - 5]
-        value, power, noise = rest[len(rest) - 5: len(rest) - 2]
+        det_refs = rest[: len(rest) - n_out - 2]
+        outs = rest[len(rest) - n_out - 2: len(rest) - 2]
+        value, power, noise = outs[:3]
         s_r, s_i = rest[len(rest) - 2:]
         b = pl.program_id(0)
         r = rs[b]
@@ -638,7 +710,11 @@ def _payload_kernel_factory(N, TWM, tiles, make_det):
             s_r[1 : TWM + 1, :], s_i[1 : TWM + 1, :], rv,
         )
         zr, zi = _dechirp_shift_vals(win_r, win_i, cr[:], ci[:], fe, rv, False)
-        val, pwr, nse, _ = det(zr, zi, False)
+        if want_mag2:
+            val, pwr, nse, _, m2 = det(zr, zi, False, True)
+            outs[3][0] = m2
+        else:
+            val, pwr, nse, _ = det(zr, zi, False)
         value[0] = val
         power[0] = pwr
         noise[0] = nse
@@ -647,12 +723,14 @@ def _payload_kernel_factory(N, TWM, tiles, make_det):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mtu", "interpret", "bf16")
+    jax.jit, static_argnames=("mtu", "interpret", "bf16", "want_mag2")
 )
 def _payload_tiled(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
-                   interpret: bool, bf16: bool = False):
+                   interpret: bool, bf16: bool = False,
+                   want_mag2: bool = False):
     """g: IQ [B, Rp, N] aligned rows; rs: int32 [B] sub-window shifts;
-    fe: float32 [B] fine CFO -> (value i32, power f32, noise f32) [B, mtu]."""
+    fe: float32 [B] fine CFO -> (value i32, power f32, noise f32) [B, mtu]
+    (+ mag2 f32 [B, mtu, N], detect lane order, when want_mag2)."""
     B, Rp, N = g.shape
     TWM, tiles, rp_need = payload_geometry(N, mtu)
     assert Rp == rp_need, (Rp, rp_need)
@@ -679,28 +757,39 @@ def _payload_tiled(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
     out_spec = pl.BlockSpec(
         (1, TWM, 1), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
+    out_specs = [out_spec] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((B, M8, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, M8, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, M8, 1), jnp.float32),
+    ]
+    if want_mag2:
+        out_specs = out_specs + [pl.BlockSpec(
+            (1, TWM, N), lambda b, t, *_: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((B, M8, N), jnp.float32)
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, tiles),
         in_specs=in_specs,
-        out_specs=[out_spec] * 3,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((TWM + 8, N), jnp.float32)] * 2,
     )
-    kernel = _payload_kernel_factory(N, TWM, tiles, make_det)
-    value, power, noise = pl.pallas_call(
+    kernel = _payload_kernel_factory(N, TWM, tiles, make_det, want_mag2)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, M8, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, M8, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, M8, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 1024 * 1024
+            vmem_limit_bytes=(14 + (8 if want_mag2 else 0)) * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * B * M8 * N * (min(N, 128) + max(1, N // 128)),
-            bytes_accessed=B * Rp * N * 8 + B * M8 * 12,
+            bytes_accessed=B * Rp * N * 8 + B * M8 * 12
+            + (B * M8 * N * 4 if want_mag2 else 0),
             transcendentals=2 * B * M8 * N,
         ),
         interpret=interpret,
@@ -709,6 +798,14 @@ def _payload_tiled(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
       g.re, g.im, g.re, g.im,
       jnp.asarray(cre)[None], jnp.asarray(cim)[None],
       *det_arrays)
+    value, power, noise = outs[:3]
+    if want_mag2:
+        return (
+            value[:, :mtu, 0],
+            power[:, :mtu, 0],
+            noise[:, :mtu, 0],
+            outs[3][:, :mtu],
+        )
     return (
         value[:, :mtu, 0],
         power[:, :mtu, 0],
@@ -717,7 +814,7 @@ def _payload_tiled(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
 
 
 def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
-                   bf16: bool = False):
+                   bf16: bool = False, want_mag2: bool = False):
     """Fused payload stage: aligned rows g (IQ [..., Rp, N], Rp =
     payload_rows(N, mtu)), per-channel shift rs = data_start % N and fine
     CFO fe -> (value, power, noise) with shape [..., mtu].
@@ -727,7 +824,12 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
     shift.shift_windows + detect.dechirp_detect(want_f_index=False), in one
     HBM pass.  Routes to the flat multi-channel kernel when a whole
     channel's rows fit the block budget (payload_flat_geometry), else the
-    per-channel tiled kernel."""
+    per-channel tiled kernel.
+
+    want_mag2=True appends the payload |FFT|^2 windows [..., mtu, N] in
+    NATURAL bin order (the soft-RX evidence, models/softdec); magnitudes
+    equal the XLA path's spectra — the roll-free alignment's phase factors
+    drop under |.|^2 (module comment)."""
     g = cplx.as_iq(g)
     *lead, Rp, N = g.shape
     B = int(np.prod(lead)) if lead else 1
@@ -738,8 +840,13 @@ def payload_detect(g, rs, fe, mtu: int, interpret: bool = False,
         _payload_flat_pc if payload_flat_geometry(N, mtu) is not None
         else _payload_tiled
     )
-    value, power, noise = impl(gf, rsf, fef, mtu, interpret, bf16)
+    out = impl(gf, rsf, fef, mtu, interpret, bf16, want_mag2)
     shp = lambda a: a.reshape(*lead, mtu)
+    if want_mag2:
+        value, power, noise, m2 = out
+        m2 = _natural_mag2(m2, N, bf16).reshape(*lead, mtu, N)
+        return shp(value), shp(power), shp(noise), m2
+    value, power, noise = out
     return shp(value), shp(power), shp(noise)
 
 

@@ -149,17 +149,39 @@ def _mxu_dot(bf16: bool):
     )
 
 
-def direct_vals(zr, zi, fr, fi, want_findex=True, bf16=False):
+def direct_vals(zr, zi, fr, fi, want_findex=True, bf16=False,
+                want_mag2=False):
     """Direct-DFT detect (N <= 256) on dechirped values zr/zi [TW, N] with
     DFT matrix values fr/fi [N, N]: S = Z @ F, one MXU matmul pair.
-    Returns (value, power, noise, findex) as [TW, 1] values."""
+    Returns (value, power, noise, findex) as [TW, 1] values;
+    want_mag2=True appends the |FFT|^2 block [TW, N] (natural bin order)
+    — the soft-decision path's evidence (models/softdec)."""
     TW, N = zr.shape
     dot = _mxu_dot(bf16)
     sr = dot(zr, fr) - dot(zi, fi)
     si = dot(zr, fi) + dot(zi, fr)
     mag2 = sr * sr + si * si
     bins = jax.lax.broadcasted_iota(jnp.int32, (TW, N), 1)
-    return _finish_vals(mag2, bins, N, want_findex)
+    out = _finish_vals(mag2, bins, N, want_findex)
+    return (*out, mag2) if want_mag2 else out
+
+
+def detect_bin_order(N: int, bf16: bool = False):
+    """Lane position of DFT bin b in the kernels' mag2 output, as int32
+    [N] numpy, or None when the output is already in natural bin order.
+
+    The four-step detect (N > MAX_DIRECT_N) keeps the spectrum in
+    group-major layout — group k2 = bin % n2 occupies lanes
+    [k2*n1, (k2+1)*n1) with k1 = bin // n2 inside — because interleaving
+    to natural order in-kernel would be a stride-n2 lane scatter (a shape
+    Mosaic handles badly).  Consumers restore natural order with one
+    static XLA gather: natural = permuted[..., detect_bin_order(N)]."""
+    if N <= MAX_DIRECT_N or (bf16 and N <= MAX_DENSE_BF16_N):
+        return None
+    n1 = 128
+    n2 = N // n1
+    b = np.arange(N)
+    return ((b % n2) * n1 + b // n2).astype(np.int32)
 
 
 def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
@@ -174,11 +196,14 @@ def _kernel(xr, xi, cr, ci, fe, fr, fi, value, power, noise, findex,
 
 
 def four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex=True,
-                   bf16=False):
+                   bf16=False, want_mag2=False):
     """Four-step detect (512 <= N <= 4096) on dechirped values zr/zi
     [TW, N]: N = n1*n2, n1 = 128 minor.  f1r/f1i [n1, n1] DFT matrix
     values, twr/twi [n2, n1] twiddle rows, w2 = (w2r, w2i) numpy [n2, n2].
-    Returns (value, power, noise, findex) as [TW, 1] values.
+    Returns (value, power, noise, findex) as [TW, 1] values;
+    want_mag2=True appends the |FFT|^2 block [TW, N] in GROUP-MAJOR lane
+    order (see detect_bin_order) — restored to natural bin order by one
+    static gather outside the kernel.
 
     Decimation x[j2*n1 + j1] = A[j2, j1]:
         X[k1*n2 + k2] = sum_j1 Wn1[j1,k1] * tw[j1,k2] * G[j1,k2],
@@ -251,8 +276,12 @@ def four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex=True,
     db = lambda a: (20.0 / _LOG10) * jnp.log(jnp.maximum(a, 1e-20)) - scale
     pwr = db(fund)
     nse = db(noise_amp)
+    # group-major spectrum: lane k2*n1 + k1 holds bin k1*n2 + k2 (a
+    # tile-aligned lane concat; natural interleave would be a lane scatter)
+    m2_out = jnp.concatenate(mags, axis=1) if want_mag2 else None
     if not want_findex:
-        return val, pwr, nse, jnp.zeros_like(fund)
+        out = (val, pwr, nse, jnp.zeros_like(fund))
+        return (*out, m2_out) if want_mag2 else out
     lbin = jnp.where(val == 0, N - 1, val - 1)
     rbin = jnp.where(val == N - 1, 0, val + 1)
     left = jnp.zeros((TW, 1), jnp.float32)
@@ -268,7 +297,8 @@ def four_step_vals(zr, zi, f1r, f1i, twr, twi, w2, want_findex=True,
         )
     denom = 2.0 * fund - right - left
     fidx = jnp.where(denom == 0.0, 0.0, 0.5 * (right - left) / denom)
-    return val, pwr, nse, fidx
+    out = (val, pwr, nse, fidx)
+    return (*out, m2_out) if want_mag2 else out
 
 
 def _kernel4(

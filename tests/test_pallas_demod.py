@@ -399,3 +399,102 @@ def test_kernel_grid_geometry_mosaic_legal():
                     N, mtu, B, pcd,
                 )
                 assert (pcd * rows) % 8 == 0, (N, mtu, B, pcd)
+
+@pytest.mark.parametrize(
+    "N,mtu,route",
+    [
+        (128, 20, "flat"),    # direct DFT: natural bin order
+        (512, 40, "flat"),    # four-step: group-major + de-perm
+        (512, 136, "tiled"),  # tiled fallback, two tiles
+        (128, 20, "direct"),  # gather-free kernel
+        (512, 40, "direct"),
+    ],
+)
+def test_payload_kernel_mag2_matches_xla(N, mtu, route, rng):
+    """want_mag2: the fused payload kernels emit the |FFT|^2 windows the
+    soft-decision decoder consumes; after the natural-order restore they
+    match the XLA path's spectra (phase factors of the roll-free
+    alignment drop under |.|^2)."""
+    B = 4
+    if route == "direct":
+        rp = pallas_demod.payload_rows(N, mtu)
+        W = rp + 16
+        assert pallas_demod.payload_direct_pc(N, mtu, W, B) is not None
+        x3 = cplx.IQ(
+            jnp.asarray(rng.standard_normal((B, W, N)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, W, N)), jnp.float32),
+        )
+        q = jnp.asarray(rng.integers(0, W - rp + 1, B), jnp.int32)
+        rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+        fe = jnp.asarray(rng.standard_normal(B) * 0.4, jnp.float32)
+        g = shift_ops.gather_rows(x3.reshape(B, W * N), q, rp, N)
+        out = pallas_demod.payload_detect_direct(
+            x3, q, rs, fe, mtu, interpret=True, want_mag2=True
+        )
+    else:
+        rp = (
+            pallas_demod.payload_geometry(N, mtu)[2] if route == "tiled"
+            else pallas_demod.payload_rows(N, mtu)
+        )
+        g = cplx.IQ(
+            jnp.asarray(rng.standard_normal((B, rp, N)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, rp, N)), jnp.float32),
+        )
+        rs = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+        fe = jnp.asarray(rng.standard_normal(B) * 0.4, jnp.float32)
+        if route == "tiled":
+            raw = pallas_demod._payload_tiled(
+                g, rs, fe, mtu, interpret=True, want_mag2=True
+            )
+            out = raw[:3] + (pallas_demod._natural_mag2(raw[3], N, False),)
+        else:
+            assert pallas_demod.payload_flat_geometry(N, mtu) is not None
+            out = pallas_demod.payload_detect(
+                g, rs, fe, mtu, interpret=True, want_mag2=True
+            )
+    win = shift_ops.shift_windows(g, rs, mtu)
+    ref = det_ops.dechirp_detect(
+        win, ferr=fe[:, None], want_mag2=True, fft_impl="xla"
+    )
+    val, pwr, nse, m2 = out
+    np.testing.assert_array_equal(np.asarray(ref.value), np.asarray(val))
+    rm2 = np.asarray(ref.mag2)
+    om2 = np.asarray(m2)
+    assert om2.shape == (B, mtu, N)
+    np.testing.assert_allclose(om2, rm2, rtol=2e-3, atol=2e-4 * rm2.max())
+    # the argmax bin's evidence is exactly the detect's peak: decisions
+    # derived from the emitted spectra agree with the hard path
+    np.testing.assert_array_equal(om2.argmax(-1), np.asarray(ref.value))
+
+
+def test_fused_soft_path_decode_identical(rng):
+    """demodulate(spectra=True) now keeps the fused kernels; decode_soft
+    over their spectra reproduces the XLA path's soft decode exactly at a
+    noisy operating point (the round-4 verdict's soft-RX fusion item)."""
+    cfg = lora_tpu.LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(8) + 2)
+    B = 6
+    p = rng.integers(0, 256, (B, 8)).astype(np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(p), cfg), cfg)
+    T = required_samples(cfg)
+    iq = cplx.pad(iq, ((0, 0), (0, T - iq.shape[-1])))
+    iq = ch.awgn(jax.random.PRNGKey(3), iq, 1.2)
+
+    dem_x = demodulate(iq, cfg, spectra=True, fused="off")
+    dem_f = demodulate(iq, cfg, spectra=True, fused="interpret")
+    assert dem_f.fft_mag2 is not None
+    np.testing.assert_array_equal(
+        np.asarray(dem_x.found), np.asarray(dem_f.found)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dem_x.symbols), np.asarray(dem_f.symbols)
+    )
+    dec_x = api.decode_soft(dem_x.fft_mag2, cfg)
+    dec_f = api.decode_soft(dem_f.fft_mag2, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(dec_x.status), np.asarray(dec_f.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec_x.data), np.asarray(dec_f.data)
+    )
+    assert api.extract_payloads(dec_f) == api.extract_payloads(dec_x)
