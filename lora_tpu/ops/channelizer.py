@@ -218,10 +218,13 @@ def channelize(
     ~1e-2 relative — decision-safe for the demod, validated in
     tools/bench_scale.py before it reports the bf16 number).
 
-    impl: "auto" routes the filterbank to the fused Pallas kernel
-    (ops/pallas_channelize) on TPU when the geometry fits, else the XLA
-    matmul pipeline; "pallas" / "pallas-interpret" force the kernel
-    (compiled / interpreter), "xla" forces the matmul pipeline.
+    impl: "auto" routes the filterbank to the factorized FIR+IDFT Pallas
+    kernel (ops/pallas_channelize.filterbank_fir — channel-major output,
+    no corner-turn, ~15x fewer flops than the dense form) on TPU when its
+    geometry fits, else the dense block-Toeplitz kernel, else the XLA
+    matmul pipeline.  "fir" / "fir-interpret" force the factorized
+    kernel; "pallas" / "pallas-interpret" force the dense kernel;
+    "xla" forces the matmul pipeline.
     """
     x = cplx.as_iq(x)
     T = x.shape[-1]
@@ -238,14 +241,25 @@ def channelize(
     if impl != "xla":
         from . import pallas_channelize as pc
 
-        fits = pc.kernel_geometry(K, taps_per_phase) is not None
-        # an explicit `group` is an XLA-path tuning knob (tune_kernels
-        # sweeps); honor it by keeping auto off the kernel route
-        want = impl in ("pallas", "pallas-interpret") or (
+        auto_kernel = (
             impl == "auto" and group is None
             and jax.default_backend() == "tpu"
         )
-        if fits and want:
+        # an explicit `group` is an XLA-path tuning knob (tune_kernels
+        # sweeps); honor it by keeping auto off the kernel routes
+        fir_fits = pc.fir_geometry(K, taps_per_phase)
+        if fir_fits and (impl in ("fir", "fir-interpret") or auto_kernel):
+            y = pc.filterbank_fir(
+                xp, K, taps_per_phase, M,
+                interpret=impl == "fir-interpret", bf16=bf16,
+            )
+            return y, new_state
+        if impl in ("fir", "fir-interpret"):
+            raise ValueError(
+                f"no FIR+IDFT geometry for K={K}, L={taps_per_phase}"
+            )
+        fits = pc.kernel_geometry(K, taps_per_phase) is not None
+        if fits and (impl in ("pallas", "pallas-interpret") or auto_kernel):
             y = pc.filterbank(
                 xp, K, taps_per_phase, M,
                 interpret=impl == "pallas-interpret", bf16=bf16,

@@ -216,3 +216,174 @@ def filterbank(xp, K: int, taps_per_phase: int, M: int,
     S = int(np.prod(lead)) if lead else 1
     y = _filterbank(xp.reshape(S, P), K, taps_per_phase, M, interpret, bf16)
     return y.reshape(*lead, M, K)
+
+
+# --------------------------------------------------------------------------
+# factorized FIR + IDFT filterbank (round-5): the banded replacement for
+# the dense block-Toeplitz form above
+# --------------------------------------------------------------------------
+#
+# The two-matmul kernel above contracts 2*SEG = 2*G*K rows per G*K output
+# lanes — 8*2*G*K / G ~ 8192 flops per wide sample at K=64, of which half
+# land on structural zero blocks (the band occupies L of 2G block rows)
+# and the rest recompute the IDFT under every tap.  The filterbank is
+# separable, and the factorized form pays the true cost:
+#
+#   u[m, q] = sum_l H'[l, q] * x2[m + L-1 - l, q]     (per-lane FIR, VPU,
+#                                                      2*2*L = 32 flops)
+#   y[k, m] = sum_q W'[q, k] * u[m, q]                (K-point IDFT, MXU,
+#                                                      4*2*K = 512 flops)
+#
+# with x2 the CONTIGUOUS (rows, K) reshape of the state-prepended stream,
+# H'[l, q] = H[l, K-1-q] and W'[q, k] = W[K-1-q, k] (the commutator's
+# lane flip folded into the constants, exactly as the dense kernel folds
+# it into WB).  The IDFT runs TRANSPOSED — dot_general contracting both
+# operands' lane axes, (K, K) x (TM, K) -> (K, TM) — so each grid cell
+# writes a CHANNEL-MAJOR (K, TM) block: the [.., M, K] -> [.., K, M]
+# corner-turn the dense kernel leaves to XLA (a full HBM pass) never
+# happens.  ~15x fewer flops and one less memory pass than the dense
+# form; algebraically identical up to f32 summation order.
+#
+# Reference scope: as above — the reference is single-channel
+# (SURVEY.md §2.2); this is the TPU build's wideband front-end.
+
+_FIR_MAX_K = 256
+
+
+@functools.lru_cache(maxsize=None)
+def fir_geometry(K: int, taps_per_phase: int) -> bool:
+    """True when the factorized FIR+IDFT kernel handles (K, L): lanes wide
+    enough for the VPU/MXU (K >= 64), constants within VMEM sanity
+    (K <= 256), and the FIR history covered by one 8-row lookahead block
+    (L - 1 <= 8)."""
+    return 64 <= K <= _FIR_MAX_K and K % 64 == 0 and taps_per_phase <= 9
+
+
+@functools.lru_cache(maxsize=None)
+def _fir_idft_consts(K: int, taps_per_phase: int):
+    """(H' [8, K], Wt_re [K, K], Wt_im [K, K]) numpy: flip-folded FIR taps
+    (zero-padded to 8 rows) and the IDFT constant in the TRANSPOSED dot's
+    layout Wt[k, q] = W[K-1-q, k] — equal to W[k, K-1-q] (column flip)
+    because the IDFT matrix is symmetric."""
+    from .channelizer import prototype, _idft_k
+
+    L = taps_per_phase
+    H = prototype(K, taps_per_phase).reshape(L, K)
+    hp = np.zeros((8, K), np.float32)
+    hp[:L] = H[:, ::-1]
+    wre, wim = _idft_k(K)
+    return hp, wre[:, ::-1].copy(), wim[:, ::-1].copy()
+
+
+def _fir_kernel_factory(TM, K, L, bf16):
+    if bf16:
+        cast = lambda a: a.astype(jnp.bfloat16)
+    else:
+        cast = lambda a: a
+    dotT = lambda a, b: jax.lax.dot_general(
+        cast(a), cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=None if bf16 else jax.lax.Precision.HIGHEST,
+    )
+
+    def kernel(ar, ai, nr, ni, hc, wr, wi, outr, outi, sr, si):
+        sr[0:TM, :] = ar[:]
+        si[0:TM, :] = ai[:]
+        sr[TM : TM + 8, :] = nr[:]
+        si[TM : TM + 8, :] = ni[:]
+        # per-lane FIR: u[m] = sum_l H'[l] * rows[m + L-1-l] — L static
+        # sublane slices of the scratch, VPU multiply-accumulate
+        h0 = hc[L - 1, :][None, :]
+        ur = h0 * sr[0:TM, :]
+        ui = h0 * si[0:TM, :]
+        for l in range(L - 2, -1, -1):
+            d = L - 1 - l
+            hl = hc[l, :][None, :]
+            ur = ur + hl * sr[d : d + TM, :]
+            ui = ui + hl * si[d : d + TM, :]
+        # transposed K-point IDFT: (K, K) x (TM, K) -> (K, TM), channel-
+        # major output block (no corner-turn downstream)
+        wre, wim = wr[:], wi[:]
+        outr[:] = dotT(wre, ur) - dotT(wim, ui)
+        outi[:] = dotT(wre, ui) + dotT(wim, ur)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "taps_per_phase", "M", "interpret", "bf16")
+)
+def _filterbank_fir(xp: IQ, K: int, taps_per_phase: int, M: int,
+                    interpret: bool, bf16: bool):
+    """xp: IQ [S, P] state-prepended wideband blocks (P >= (M+L-1)*K) ->
+    y IQ [S, K, M] channelized samples, CHANNEL-MAJOR."""
+    S, P = xp.shape
+    L = taps_per_phase
+    TM = next(t for t in (512, 256, 128, 64, 32, 16, 8) if t <= max(M, 8))
+    Mp = -(-M // TM) * TM
+    rows_p = Mp + TM  # per-stream row stride: TM-aligned, covers the
+    # Mp + L - 1 FIR rows (L - 1 <= 8 <= TM lookahead)
+    need = rows_p * K
+    if P < need:
+        xp = cplx.pad(xp, ((0, 0), (0, need - P)))
+    x2 = xp[:, :need].reshape(S * rows_p, K)
+    hp, wre, wim = _fir_idft_consts(K, taps_per_phase)
+    nb = rows_p // TM
+    blk = lambda s, i: (s * nb + i, 0)
+    nxt = lambda s, i: ((s * rows_p + (i + 1) * TM) // 8, 0)
+    ob = Mp // TM
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((TM, K), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TM, K), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, K), nxt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, K), nxt, memory_space=pltpu.VMEM),
+        const((8, K)),
+        const((K, K)),
+        const((K, K)),
+    ]
+    out_spec = pl.BlockSpec(
+        (K, TM), lambda s, i: (s, i), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(S, ob),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 2,
+        scratch_shapes=[pltpu.VMEM((TM + 8, K), jnp.float32)] * 2,
+    )
+    yr, yi = pl.pallas_call(
+        _fir_kernel_factory(TM, K, L, bf16),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S * K, Mp), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=16 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=S * Mp * K * (8 * K + 4 * L),
+            bytes_accessed=S * rows_p * K * 8 + S * K * Mp * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2.re, x2.im, x2.re, x2.im,
+      jnp.asarray(hp), jnp.asarray(wre), jnp.asarray(wim))
+    cut = lambda a: a.reshape(S, K, Mp)[:, :, :M]
+    return IQ(cut(yr), cut(yi))
+
+
+def filterbank_fir(xp, K: int, taps_per_phase: int, M: int,
+                   interpret: bool = False, bf16: bool = False) -> IQ:
+    """Factorized FIR+IDFT filterbank: state-prepended wideband xp
+    (IQ [..., P], P >= (M + taps_per_phase - 1) * K) -> IQ [..., K, M]
+    channelized samples, CHANNEL-MAJOR (ready for the demod bank; no
+    corner-turn).  Value-equal (f32 summation order aside) to the XLA
+    pipeline / dense kernel; use when fir_geometry(K, L) holds."""
+    xp = cplx.as_iq(xp)
+    *lead, P = xp.shape
+    S = int(np.prod(lead)) if lead else 1
+    y = _filterbank_fir(
+        xp.reshape(S, P), K, taps_per_phase, M, interpret, bf16
+    )
+    return y.reshape(*lead, K, M)

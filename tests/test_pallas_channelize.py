@@ -94,3 +94,78 @@ def test_filterbank_streaming_continuity_through_kernel(rng):
     np.testing.assert_allclose(
         np.asarray(cplx.to_complex(y_full)), y_chunked, atol=1e-6
     )
+
+# ---- factorized FIR + IDFT kernel (round-5) ------------------------------
+
+def _fir_parity_case(rng, K, M, S, bf16=False):
+    T = K * M
+    x = _rand_iq(rng, (S, T)) if S else _rand_iq(rng, (T,))
+    st_shape = (S, 8 * K - 1) if S else (8 * K - 1,)
+    st = _rand_iq(rng, st_shape)
+    y0, s0 = chz.channelize(x, K, state=st, impl="xla")
+    y1, s1 = chz.channelize(
+        x, K, state=st, impl="fir-interpret", bf16=bf16
+    )
+    assert y1.re.shape == y0.re.shape
+    np.testing.assert_array_equal(np.asarray(s0.re), np.asarray(s1.re))
+    np.testing.assert_array_equal(np.asarray(s0.im), np.asarray(s1.im))
+    err = np.maximum(
+        np.abs(np.asarray(y0.re - y1.re)), np.abs(np.asarray(y0.im - y1.im))
+    )
+    return float(err.max())
+
+
+def test_fir_filterbank_parity_k64(rng):
+    """The factorized kernel (per-lane FIR + transposed IDFT, channel-
+    major output) matches the XLA pipeline at the config-3 geometry,
+    including a tile seam (M > TM after padding) and the M % TM pad."""
+    from lora_tpu.ops.pallas_channelize import fir_geometry
+
+    assert fir_geometry(64, 8)
+    assert _fir_parity_case(rng, K=64, M=48, S=2) < 1e-5
+
+
+@pytest.mark.slow
+def test_fir_filterbank_parity_tile_seam(rng):
+    # M = 520 > TM = 512: second grid column + output pad slice
+    assert _fir_parity_case(rng, K=64, M=520, S=1) < 1e-5
+
+
+@pytest.mark.slow
+def test_fir_filterbank_parity_k128_bf16(rng):
+    from lora_tpu.ops.pallas_channelize import fir_geometry
+
+    assert fir_geometry(128, 8)
+    assert _fir_parity_case(rng, K=128, M=40, S=1) < 1e-5
+    assert _fir_parity_case(rng, K=64, M=48, S=1, bf16=True) < 3e-2
+
+
+def test_fir_geometry_gates():
+    from lora_tpu.ops.pallas_channelize import fir_geometry
+
+    assert not fir_geometry(16, 8)    # lanes too narrow: dense kernel
+    assert not fir_geometry(96, 8)    # K % 64 != 0
+    assert not fir_geometry(512, 8)   # constants past the VMEM gate
+    assert not fir_geometry(64, 12)   # FIR history > one lookahead block
+    x = cplx.zeros((16 * 8,))
+    with pytest.raises(ValueError):
+        chz.channelize(x, 16, impl="fir")
+
+
+@pytest.mark.slow
+def test_fir_filterbank_streaming_continuity(rng):
+    K, M = 64, 64
+    x = _rand_iq(rng, (K * M,))
+    y_full, _ = chz.channelize(x, K, impl="fir-interpret")
+    state = None
+    outs = []
+    half = K * M // 2
+    for lo in (0, half):
+        y, state = chz.channelize(
+            x[lo : lo + half], K, state=state, impl="fir-interpret"
+        )
+        outs.append(np.asarray(cplx.to_complex(y)))
+    y_chunked = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(cplx.to_complex(y_full)), y_chunked, atol=1e-6
+    )
