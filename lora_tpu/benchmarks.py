@@ -63,7 +63,7 @@ import numpy as np
 
 _SENTINEL = "@@LORA "
 
-# Ladder rungs, CHEAPEST FIRST: (fused mode, batch, pipelined, iters).
+# Ladder rungs, CHEAPEST FIRST: (sf, fused mode, batch, pipelined, iters).
 #   rung 1 (floor): unfused XLA path, small batch, serial readback —
 #           runs even with Pallas broken, minimal temp footprint.
 #   rung 2: fused f32, serial readback — no double-buffered temps.
@@ -73,13 +73,18 @@ _SENTINEL = "@@LORA "
 #           Gsamp/s, tools/bench_roofline.py), so f32 contends for the
 #           headline at full batch.
 #   rung 5: bf16, B=4096, pipelined (round-3 headline mode).
-# The orchestrator banks the BEST value across rungs either way.
+#   rung 6 (round-5): SF12 — N=4096 through the same fused kernels
+#           (LoRaDetector.hpp:29-64 at its largest N).  Banked into the
+#           rung record for the official SF12 number; it does NOT compete
+#           for the SF10 headline (the orchestrator gates `best` on sf).
+# The orchestrator banks the BEST SF10 value across rungs either way.
 _RUNGS = [
-    ("off", 512, False, 3),
-    ("auto", 2048, False, 4),
-    ("bf16", 2048, True, 8),
-    ("auto", 4096, True, 10),
-    ("bf16", 4096, True, 10),
+    (10, "off", 512, False, 3),
+    (10, "auto", 2048, False, 4),
+    (10, "bf16", 2048, True, 8),
+    (10, "auto", 4096, True, 10),
+    (10, "bf16", 4096, True, 10),
+    (12, "auto", 1024, True, 6),
 ]
 
 
@@ -173,23 +178,27 @@ def _worker_main(max_rungs: int) -> None:
     np.asarray(w)
     _emit({"event": "warm", "t": round(time.monotonic() - t_start, 1)})
 
-    cfg = LoRaConfig(sf=10, cr="4/8", ampl=1.0)
-    cfg = cfg.replace(mtu=cfg.num_symbols(32) + 4)
-    T = required_samples(cfg)
-    inputs = {}  # B -> staged device bank (reused across rungs)
+    cfgs = {}
+    for sf in sorted({r[0] for r in _RUNGS}):
+        c = LoRaConfig(sf=sf, cr="4/8", ampl=1.0)
+        cfgs[sf] = c.replace(mtu=c.num_symbols(32) + 4)
+    inputs = {}  # (sf, B) -> staged device bank (reused across rungs)
 
-    for fused, B, pipelined, iters in _RUNGS[:max_rungs]:
-        tag = f"{fused}/B{B}/{'pipe' if pipelined else 'serial'}"
+    for sf, fused, B, pipelined, iters in _RUNGS[:max_rungs]:
+        cfg = cfgs[sf]
+        tag = f"sf{sf}-{fused}/B{B}/{'pipe' if pipelined else 'serial'}"
         if time.monotonic() - t_start > budget - 30.0:
             _emit({"event": "skip", "tag": tag, "why": "worker budget"})
             continue
         _emit({"event": "staging", "tag": tag})
         try:
-            if B not in inputs:
-                inputs[B] = _build_input(api, jax, jnp, cplx, cfg, B, T)
+            if (sf, B) not in inputs:
+                inputs[sf, B] = _build_input(
+                    api, jax, jnp, cplx, cfg, B, required_samples(cfg)
+                )
             _emit({"event": "staged", "tag": tag})
             msps, _, _ = _run_mode(
-                api, jax, cfg, inputs[B], fused, iters, pipelined,
+                api, jax, cfg, inputs[sf, B], fused, iters, pipelined,
                 progress=lambda st: _emit({"event": st, "tag": tag}),
             )
         except Exception as e:  # noqa: BLE001 — ladder must not die
@@ -200,7 +209,7 @@ def _worker_main(max_rungs: int) -> None:
             continue
         _emit({
             "event": "rung", "tag": tag, "value": round(msps, 2),
-            "mode": fused, "batch": B,
+            "mode": fused, "batch": B, "sf": sf,
         })
     _emit({"event": "done"})
 
@@ -355,7 +364,11 @@ def _driver_ladder() -> None:
                 tag = ev["tag"]
                 rungs_seen[tag] = ev["value"]
                 rungs_left -= 1
-                if best is None or ev["value"] > best[0]:
+                # only SF10 rungs contend for the SF10 headline; other
+                # SFs (the SF12 rung) bank into the rung record only
+                if ev.get("sf", 10) == 10 and (
+                    best is None or ev["value"] > best[0]
+                ):
                     best = (ev["value"], ev["mode"], ev["batch"])
             elif kind == "rung_error":
                 errors[ev["tag"]] = ev["error"]

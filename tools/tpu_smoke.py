@@ -247,10 +247,12 @@ def main() -> int:
             and np.array_equal(np.asarray(demb.t_sync), ref[f"tsync{sf}"])
         )
         report(f"demod_bf16_decisions_sf{sf}", b_eq)
-        if sf == SF_LIST[0]:
-            # production soft RX on hardware: spectra-mode demod (matmul-
-            # FFT |FFT|^2 carry) + ML soft decode, payload-exact vs the
-            # CPU reference bank
+        if sf in (SF_LIST[0], 10):
+            # production soft RX on hardware: spectra-mode demod — now the
+            # FUSED payload kernel emitting |FFT|^2 from VMEM (round-5) —
+            # + ML soft decode, payload-exact vs the CPU reference bank.
+            # sf=10 exercises the four-step detect's group-major spectrum
+            # + the natural-order restore gather on real Mosaic.
             dsp = api.demodulate(x, cfg, spectra=True)
             sdec = api.decode_soft(dsp.fft_mag2, cfg)
             sp_ok = api.extract_payloads(sdec) == want
@@ -330,6 +332,34 @@ def main() -> int:
             )
         )
         report(f"filterbank_kernel_bf16_{lbl}", eb < 3e-2, max_err=eb)
+
+    # factorized FIR+IDFT filterbank (round-5; the auto route at K=64) vs
+    # the XLA pipeline ON THE SAME TPU: channel-major output, transposed
+    # dot, lookahead FIR rows — all on real Mosaic
+    from lora_tpu.ops.pallas_channelize import fir_geometry
+
+    for Kc in (64, 128):
+        if not fir_geometry(Kc, 8):
+            continue
+        Tc = (wiq.shape[-1] // Kc) * Kc
+        wc = wiq[..., :Tc]
+        yx, _ = chz.channelize(wc, Kc, impl="xla")
+        yf, _ = chz.channelize(wc, Kc, impl="fir")
+        ef = float(
+            max(
+                np.abs(np.asarray(yx.re - yf.re)).max(),
+                np.abs(np.asarray(yx.im - yf.im)).max(),
+            )
+        )
+        report(f"filterbank_fir_f32_k{Kc}", ef < 1e-4, max_err=ef)
+        yb, _ = chz.channelize(wc, Kc, impl="fir", bf16=True)
+        eb = float(
+            max(
+                np.abs(np.asarray(yx.re - yb.re)).max(),
+                np.abs(np.asarray(yx.im - yb.im)).max(),
+            )
+        )
+        report(f"filterbank_fir_bf16_k{Kc}", eb < 3e-2, max_err=eb)
 
     # synthesis bank (TX combiner) vs the CPU reference
     xs, _ = chz.synthesize(

@@ -270,14 +270,22 @@ def sweep_channelizer(K: int, T: int, S: int, groups):
         row(f"xla-G{g}", jax.jit(
             lambda x, _g=g: chz.channelize(x, K, group=_g, impl="xla")[0]
         ))
-    # the fused Pallas filterbank (ops/pallas_channelize), f32 and bf16
-    from lora_tpu.ops.pallas_channelize import kernel_geometry
+    # the fused Pallas filterbanks (ops/pallas_channelize): dense
+    # block-Toeplitz and the factorized FIR+IDFT form, f32 and bf16
+    from lora_tpu.ops.pallas_channelize import fir_geometry, kernel_geometry
     if kernel_geometry(K, 8) is not None:
         row("pallas-f32", jax.jit(
             lambda x: chz.channelize(x, K, impl="pallas")[0]
         ))
         row("pallas-bf16", jax.jit(
             lambda x: chz.channelize(x, K, impl="pallas", bf16=True)[0]
+        ))
+    if fir_geometry(K, 8):
+        row("fir-f32", jax.jit(
+            lambda x: chz.channelize(x, K, impl="fir")[0]
+        ))
+        row("fir-bf16", jax.jit(
+            lambda x: chz.channelize(x, K, impl="fir", bf16=True)[0]
         ))
 
 
@@ -358,6 +366,13 @@ def main():
                     help="restrict --detect to one N (128 or 1024)")
     ap.add_argument("--config3", action="store_true",
                     help="only sweep the config-3 payload_direct geometry")
+    ap.add_argument("--bigN", action="store_true",
+                    help="TC/PC/TW sweeps at N=2048/4096 (the round-4 "
+                         "verdict's post-roll-free re-tune; clears the "
+                         "_track_tc TODO)")
+    ap.add_argument("--channelizer", action="store_true",
+                    help="only run the channelizer sweep (incl. the "
+                         "FIR+IDFT kernel rows)")
     ap.add_argument("--pcs", type=int, nargs="*", default=(),
                     help="PC values for --config3 (default 8 16 32 64)")
     ap.add_argument("--bf16", type=int, default=-1,
@@ -378,6 +393,27 @@ def main():
         pcs = tuple(args.pcs) or (8, 16, 32, 64)
         for bf16 in ((False, True) if args.bf16 < 0 else (bool(args.bf16),)):
             sweep_payload_direct(128, 8192, 50, pcs, bf16)
+        return
+
+    if args.bigN:
+        # SF11/SF12 geometries (mtu = num_symbols(32) + 4 = 60); the
+        # roll-free rework deleted the barrel shifter whose VPU cost set
+        # the old TC caps, so the N >= 2048 optima may have moved
+        B = 512 if args.quick else 1024
+        for bf16 in (False, True):
+            sweep_track(2048, B, (8, 16, 24, 32), bf16)
+            sweep_track(4096, B // 2, (8, 16, 24, 32), bf16)
+        for bf16 in (False, True):
+            sweep_payload(2048, B, 60, (1 << 18, 1 << 19, 1 << 20), bf16)
+            sweep_payload(4096, B // 2, 60, (1 << 17, 1 << 18), bf16)
+        for bf16 in (False, True):
+            sweep_detect(2048, 1 << 14, (16, 32, 64, 128), bf16)
+            sweep_detect(4096, 1 << 13, (8, 16, 32, 64), bf16)
+        return
+
+    if args.channelizer:
+        sweep_channelizer(64, 1 << 20, 16 if args.quick else 64,
+                          (1, 2, 4, 8, 16, 32, 64))
         return
 
     if args.crash_retest:
