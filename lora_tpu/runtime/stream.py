@@ -173,15 +173,21 @@ class StreamDemodulator:
         self._ring = _Ring(channels, 4 * self.window)
 
     # -- input ---------------------------------------------------------------
-    def feed(self, block) -> None:
-        """Append samples: IQ/complex [B, n] (host arrays)."""
+    def _to_planar(self, block) -> tuple[np.ndarray, np.ndarray]:
+        """Wire block -> planar (re, im) float32 [B, n].  This is the
+        ingest conversion cost (complex64 de-interleave / dtype cast) that
+        pump()'s worker thread hides under the device step."""
         if isinstance(block, IQ):
             re, im = np.asarray(block.re), np.asarray(block.im)
         else:
             arr = np.asarray(block)
             re, im = arr.real.astype(np.float32), arr.imag.astype(np.float32)
         assert re.shape[0] == self.B
-        self._ring.append(re, im)
+        return re, im
+
+    def feed(self, block) -> None:
+        """Append samples: IQ/complex [B, n] (host arrays)."""
+        self._ring.append(*self._to_planar(block))
 
     def _trim(self) -> None:
         self._ring.trim(int(self.offsets.min()))
@@ -324,34 +330,64 @@ class StreamDemodulator:
         while self.ready():
             yield from self.step()
 
-    def pump(self, blocks) -> Iterator[Frame]:
-        """Drive the stream from a block iterator with a one-deep software
-        pipeline: while the device demodulates window k, the host ingests
-        the next input block into the ring (conversion + ring writes hidden
-        under the device step / dispatch latency).  Yields frames in order.
+    def pump(self, blocks, prefetch: int = 2) -> Iterator[Frame]:
+        """Drive the stream from a block iterator with the ingest-thread +
+        bounded-queue + depth-1 pipeline that config-5 measured end-to-end
+        (tools/bench_e2e.py; round-5 rework — the former single-threaded
+        interleave could only hide ONE block's conversion per step and
+        never overlapped the device wait itself).
+
+        A worker thread pulls blocks from the iterator and runs the
+        wire-format conversion (_to_planar: complex de-interleave + dtype
+        cast, the expensive part of ingest) into a queue of at most
+        `prefetch` converted blocks; the main thread owns the ring and the
+        device, dispatching window k and ingesting converted blocks while
+        the device (and the tunnel RPC) run.  The device-wait in the
+        readback releases the GIL, so conversion overlaps it even on one
+        core.  Yields frames in order; a source exception re-raises here.
         """
-        it = iter(blocks)
-        pending = None
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue[tuple[str, object]]" = _queue.Queue(
+            maxsize=max(prefetch, 1)
+        )
+
+        def worker() -> None:
+            try:
+                for blk in blocks:
+                    q.put(("blk", self._to_planar(blk)))
+                q.put(("end", None))
+            except BaseException as e:  # noqa: BLE001 — re-raised in main
+                q.put(("err", e))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
         exhausted = False
+
+        def take() -> None:
+            nonlocal exhausted
+            kind, item = q.get()
+            if kind == "err":
+                raise item  # type: ignore[misc]
+            if kind == "end":
+                exhausted = True
+            else:
+                self._ring.append(*item)
+
+        pending = None
         while True:
             if pending is not None:
                 if not exhausted:  # overlap: ingest while the device runs
-                    blk = next(it, None)
-                    if blk is None:
-                        exhausted = True
-                    else:
-                        self.feed(blk)
+                    take()
                 yield from self._step_end(pending)
                 pending = None
             elif self.ready():
                 pending = self._step_begin()
             elif not exhausted:
-                blk = next(it, None)
-                if blk is None:
-                    exhausted = True
-                else:
-                    self.feed(blk)
+                take()
             else:
+                t.join()
                 return
 
     # -- checkpoint / resume (SURVEY.md §5) ------------------------------------

@@ -79,7 +79,14 @@ def run_oracle(x: np.ndarray, cfg, tmp: pathlib.Path) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=int, nargs="+", default=[7, 10])
-    ap.add_argument("--cr", default="4/8")
+    ap.add_argument("--cr", nargs="+", default=["4/8"],
+                    help="coding rates to sweep (paired per (sf, cr))")
+    ap.add_argument("--rotate", type=float, default=0.0,
+                    help="static channel phase rotation in radians applied "
+                         "to the shared noisy banks (both RX paths see the "
+                         "rotated samples) — the reference simulation "
+                         "topology's impairment, pi/1.2345 in "
+                         "lora_simulation.pth")
     ap.add_argument("--packets", type=int, default=40)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--out", default=str(ROOT / "docs" / "sensitivity_vs_reference.json"))
@@ -109,7 +116,8 @@ def main() -> None:
     rows = []
     P = args.packets
     for sf in args.sf:
-        cfg = lora_tpu.LoRaConfig(sf=sf, cr=args.cr, ampl=1.0)
+      for cr in args.cr:
+        cfg = lora_tpu.LoRaConfig(sf=sf, cr=cr, ampl=1.0)
         cfg = cfg.replace(mtu=cfg.num_symbols(PAYLOAD_LEN) + 4)
         T = lora_tpu.required_samples(cfg)
         N = cfg.N
@@ -136,6 +144,15 @@ def main() -> None:
                 bank_im[p, d : d + k] = cim[p, :k]
             bank_re += noise * rng.standard_normal((P, T)).astype(np.float32)
             bank_im += noise * rng.standard_normal((P, T)).astype(np.float32)
+            if args.rotate:
+                # static channel rotation applied to the SHARED bank:
+                # both RX paths demodulate the rotated samples (the
+                # reference simulation topology's channel impairment)
+                c, s = np.cos(args.rotate), np.sin(args.rotate)
+                bank_re, bank_im = (
+                    (c * bank_re - s * bank_im).astype(np.float32),
+                    (s * bank_re + c * bank_im).astype(np.float32),
+                )
             iq = cplx.IQ(jnp.asarray(bank_re), jnp.asarray(bank_im))
 
             sent = {bytes(p.tolist()) for p in payloads}
@@ -175,12 +192,14 @@ def main() -> None:
 
             snr_db = float(-10 * np.log10(2 * noise * noise))
             row = {
-                "sf": sf, "cr": args.cr, "noise_ampl": noise,
+                "sf": sf, "cr": cr, "noise_ampl": noise,
                 "snr_db": round(snr_db, 2), "n": P,
                 "recovered_ours": int(ours), "recovered_ref": int(ref_ok),
                 "fer_ours": round(1 - ours / P, 4),
                 "fer_ref": round(1 - ref_ok / P, 4),
             }
+            if args.rotate:
+                row["rotate"] = round(args.rotate, 4)
             if soft is not None:
                 row["recovered_soft"] = int(soft)
                 row["fer_soft"] = round(1 - soft / P, 4)

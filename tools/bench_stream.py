@@ -92,14 +92,24 @@ def bench_pump() -> None:
     bank += 0.05 * rng.standard_normal(bank.shape).astype(np.float32)
 
     chunkn = 1 << 16
+    # the realistic ingest source is WIRE format (SoapySDR CF32: one
+    # interleaved complex64 block per read) — feed() pays the
+    # de-interleave + cast, which is exactly what pump()'s ingest thread
+    # hides under the device step.  The planar-IQ source (conversion-free
+    # ingest) is kept for attribution.
+    wire = (bank[0] + 1j * bank[1]).astype(np.complex64)
 
-    def blocks():
+    def blocks_planar():
         from lora_tpu.ops.cplx import IQ
 
         for i in range(0, T, chunkn):
             yield IQ(bank[0, :, i : i + chunkn], bank[1, :, i : i + chunkn])
 
-    def serial():
+    def blocks_wire():
+        for i in range(0, T, chunkn):
+            yield wire[:, i : i + chunkn]
+
+    def serial(blocks):
         sd = StreamDemodulator(cfg, channels=B)
         out = []
         for blk in blocks():
@@ -107,20 +117,27 @@ def bench_pump() -> None:
             out.extend(sd.run())
         return out
 
-    def pipelined():
+    def pipelined(blocks):
         sd = StreamDemodulator(cfg, channels=B)
         return list(sd.pump(blocks()))
 
-    for name, fn in (("serial feed/run", serial), ("pump (pipelined)", pipelined)):
-        fn()  # warmup/compile
-        t0 = time.perf_counter()
-        frames = fn()
-        dt = time.perf_counter() - t0
-        rate = B * T / dt / 1e6
-        print(
-            f"{name:17s}: {rate:8.1f} Msamp/s  ({len(frames)} frames, "
-            f"{dt*1e3:6.1f} ms)"
-        )
+    for src_name, blocks in (("wire cf32", blocks_wire),
+                             ("planar IQ", blocks_planar)):
+        base = None
+        for name, fn in (("serial feed/run", serial),
+                         ("pump (pipelined)", pipelined)):
+            fn(blocks)  # warmup/compile
+            t0 = time.perf_counter()
+            frames = fn(blocks)
+            dt = time.perf_counter() - t0
+            rate = B * T / dt / 1e6
+            if base is None:
+                base = dt
+            print(
+                f"{src_name} {name:17s}: {rate:8.1f} Msamp/s  "
+                f"({len(frames)} frames, {dt*1e3:6.1f} ms, "
+                f"{base/dt:.2f}x vs serial)"
+            )
 
 
 if __name__ == "__main__":
