@@ -64,6 +64,15 @@ def main() -> None:
     ap.add_argument("--interleaved", action="store_true",
                     help="ship raw interleaved wire, deinterleave on device")
     ap.add_argument("--payload", type=int, default=32)
+    ap.add_argument("--minutes", type=float, default=0.0,
+                    help="sustained mode: keep cycling slabs until this "
+                         "many minutes of wall clock (leak/drift check); "
+                         "0 = one pass over --channels")
+    ap.add_argument("--mixed-sf", action="store_true",
+                    help="two expert groups (SF10 + SF8), slabs routed "
+                         "round-robin to per-config compiled programs — "
+                         "the ChannelDispatcher group pattern at slab "
+                         "scale")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -79,31 +88,42 @@ def main() -> None:
     from lora_tpu.ops import cplx
     from lora_tpu.runtime import iqio
 
-    cfg = LoRaConfig(sf=10, cr="4/8", ampl=1.0)
-    cfg = cfg.replace(mtu=cfg.num_symbols(args.payload) + 4)
-    T = required_samples(cfg)
     B, slab = args.channels, args.slab
     n_slabs = -(-B // slab)
     rng = np.random.default_rng(0)
-
-    # ---- one slab of wire-format capture, reused for every slab ----------
-    # (a fresh 10k-channel noise bank blew the host-RNG budget in round 3;
-    # the device work is identical per slab either way)
-    payload = rng.integers(0, 256, (slab, args.payload), dtype=np.uint8)
-    iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
-    re = np.asarray(iq.re)[:, :T]
-    im = np.asarray(iq.im)[:, :T]
-    if re.shape[1] < T:
-        re = np.pad(re, ((0, 0), (0, T - re.shape[1])))
-        im = np.pad(im, ((0, 0), (0, T - im.shape[1])))
-    re = re + 0.05 * rng.standard_normal(re.shape, dtype=np.float32)
-    im = im + 0.05 * rng.standard_normal(im.shape, dtype=np.float32)
-    # quantize to the cs16 wire format (SoapySDR CS16, hw/capture.py)
-    wire = np.empty((slab, 2 * T), np.int16)
-    wire[:, 0::2] = np.clip(re * 8192.0, -32768, 32767).astype(np.int16)
-    wire[:, 1::2] = np.clip(im * 8192.0, -32768, 32767).astype(np.int16)
     scale = np.float32(1.0 / 8192.0)
-    del re, im
+
+    def make_group(sf: int) -> dict:
+        """Per-config group state: wire bank + T + cfg (the expert-group
+        unit; --mixed-sf routes slabs round-robin over groups, exactly
+        the host-side routing of parallel.dispatch.ChannelDispatcher)."""
+        cfg = LoRaConfig(sf=sf, cr="4/8", ampl=1.0)
+        cfg = cfg.replace(mtu=cfg.num_symbols(args.payload) + 4)
+        T = required_samples(cfg)
+        # one slab of wire-format capture, reused for every slab (a fresh
+        # 10k-channel noise bank blew the host-RNG budget in round 3; the
+        # device work is identical per slab either way)
+        payload = rng.integers(0, 256, (slab, args.payload), dtype=np.uint8)
+        iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
+        re = np.asarray(iq.re)[:, :T]
+        im = np.asarray(iq.im)[:, :T]
+        if re.shape[1] < T:
+            re = np.pad(re, ((0, 0), (0, T - re.shape[1])))
+            im = np.pad(im, ((0, 0), (0, T - im.shape[1])))
+        re = re + 0.05 * rng.standard_normal(re.shape, dtype=np.float32)
+        im = im + 0.05 * rng.standard_normal(im.shape, dtype=np.float32)
+        # quantize to the cs16 wire format (SoapySDR CS16, hw/capture.py)
+        wire = np.empty((slab, 2 * T), np.int16)
+        wire[:, 0::2] = np.clip(re * 8192.0, -32768, 32767).astype(np.int16)
+        wire[:, 1::2] = np.clip(im * 8192.0, -32768, 32767).astype(np.int16)
+        return {"sf": sf, "cfg": cfg, "T": T, "wire": wire,
+                "found": 0, "ok": 0, "slabs": 0}
+
+    groups = [make_group(10)]
+    if args.mixed_sf:
+        groups.append(make_group(8))
+    g0 = groups[0]
+    cfg, T, wire = g0["cfg"], g0["T"], g0["wire"]
 
     if args.host_convert:
         mode = "host-convert/f32"
@@ -112,89 +132,142 @@ def main() -> None:
     else:
         mode = "planar-int16"
 
-    # ---- the device program: (convert +) demod + decode in ONE dispatch --
-    @jax.jit
-    def step_wire(w16):
-        # interleaved wire: the strided int16 deinterleave is a costly
-        # TPU relayout (measured 434 Msamp/s compute-only at SF10/B=2048
-        # vs multi-G without) — kept as the --interleaved comparison mode
-        x = w16.astype(jnp.float32) * scale
-        xb = cplx.IQ(x[:, 0::2], x[:, 1::2])
-        dem = api.demodulate(xb, cfg)
-        dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
-        return dem.found, dec.status, dec.length
+    # ---- the device programs: (convert +) demod + decode in ONE dispatch,
+    # compiled once PER GROUP (the dispatcher's per-config program unit) --
+    def attach_steps(g: dict) -> None:
+        cfg_g = g["cfg"]
 
-    @jax.jit
-    def step_planar16(r16, i16):
-        xb = cplx.IQ(r16.astype(jnp.float32) * scale,
-                     i16.astype(jnp.float32) * scale)
-        dem = api.demodulate(xb, cfg)
-        dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
-        return dem.found, dec.status, dec.length
+        @jax.jit
+        def step_wire_g(w16):
+            # interleaved wire: the strided int16 deinterleave is a costly
+            # TPU relayout (measured 434 Msamp/s compute-only at
+            # SF10/B=2048 vs multi-G without) — the --interleaved mode
+            x = w16.astype(jnp.float32) * scale
+            xb = cplx.IQ(x[:, 0::2], x[:, 1::2])
+            dem = api.demodulate(xb, cfg_g)
+            dec = api.decode(dem.symbols.astype(jnp.int32), cfg_g)
+            return dem.found, dec.status, dec.length
 
-    @jax.jit
-    def step_f32(r, i):
-        dem = api.demodulate(cplx.IQ(r, i), cfg)
-        dec = api.decode(dem.symbols.astype(jnp.int32), cfg)
-        return dem.found, dec.status, dec.length
+        @jax.jit
+        def step_planar16_g(r16, i16):
+            xb = cplx.IQ(r16.astype(jnp.float32) * scale,
+                         i16.astype(jnp.float32) * scale)
+            dem = api.demodulate(xb, cfg_g)
+            dec = api.decode(dem.symbols.astype(jnp.int32), cfg_g)
+            return dem.found, dec.status, dec.length
 
-    def host_blocks():
+        @jax.jit
+        def step_f32_g(r, i):
+            dem = api.demodulate(cplx.IQ(r, i), cfg_g)
+            dec = api.decode(dem.symbols.astype(jnp.int32), cfg_g)
+            return dem.found, dec.status, dec.length
+
+        g["step_wire"] = step_wire_g
+        g["step_planar16"] = step_planar16_g
+        g["step_f32"] = step_f32_g
+
+    for g in groups:
+        attach_steps(g)
+    step_wire = g0["step_wire"]
+    step_planar16 = g0["step_planar16"]
+    step_f32 = g0["step_f32"]
+
+    def host_blocks(g: dict):
         """One slab's queue payload, converted per `mode` (timed)."""
         t0 = time.perf_counter()
+        gw, gT = g["wire"], g["T"]
         if args.host_convert:
-            r, i = iqio.convert(wire.reshape(-1), "cs16", float(scale))
-            blk = (r.reshape(slab, T), i.reshape(slab, T))
+            r, i = iqio.convert(gw.reshape(-1), "cs16", float(scale))
+            blk = (r.reshape(slab, gT), i.reshape(slab, gT))
         elif args.interleaved:
-            blk = wire
+            blk = gw
         else:  # planar int16: a cheap strided numpy copy on the host
-            blk = (np.ascontiguousarray(wire[:, 0::2]),
-                   np.ascontiguousarray(wire[:, 1::2]))
+            blk = (np.ascontiguousarray(gw[:, 0::2]),
+                   np.ascontiguousarray(gw[:, 1::2]))
         t_convert[0] += time.perf_counter() - t0
         return blk
 
-    def dispatch(blk):
+    def dispatch(g: dict, blk):
         if args.host_convert:
-            return step_f32(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+            return g["step_f32"](jnp.asarray(blk[0]), jnp.asarray(blk[1]))
         if args.interleaved:
-            return step_wire(jnp.asarray(blk))
-        return step_planar16(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+            return g["step_wire"](jnp.asarray(blk))
+        return g["step_planar16"](jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+
+    def rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS:"):
+                    return round(int(ln.split()[1]) / 1024, 1)
+        return -1.0
 
     # compile + device warmup outside the timed region
     t_convert = [0.0]
-    blk0 = host_blocks()
-    out = dispatch(blk0)
-    np.asarray(out[0])
+    blk0 = None
+    for g in groups:
+        blk = host_blocks(g)
+        out = dispatch(g, blk)
+        np.asarray(out[0])
+        if blk0 is None:
+            blk0 = blk
     t_convert[0] = 0.0
+    rss_start = rss_mb()
 
     # ---- ingest thread ----------------------------------------------------
     q: "queue.Queue" = queue.Queue(maxsize=2)
+    deadline_s = args.minutes * 60.0
+    t0 = time.perf_counter()
 
     def ingest():
-        for _ in range(n_slabs):
-            q.put(host_blocks())
+        i = 0
+        while True:
+            if deadline_s:
+                if time.perf_counter() - t0 >= deadline_s:
+                    break
+            elif i >= n_slabs:
+                break
+            g = groups[i % len(groups)]
+            q.put((g, host_blocks(g)))
+            i += 1
         q.put(None)
 
-    # ---- timed end-to-end run ----------------------------------------------
-    found_total = ok_total = 0
-    t0 = time.perf_counter()
+    # ---- timed end-to-end run ---------------------------------------------
+    samples_done = 0
+    slab_done_t: list[float] = []
+
+    def settle(pend):
+        nonlocal samples_done
+        g, out = pend
+        g["found"] += int(np.asarray(out[0]).sum())
+        g["ok"] += int((np.asarray(out[1]) == OK).sum())
+        g["slabs"] += 1
+        samples_done += slab * g["T"]
+        slab_done_t.append(time.perf_counter() - t0)
+
     threading.Thread(target=ingest, daemon=True).start()
     pending = None
     while True:
-        blk = q.get()
-        if blk is None:
+        item = q.get()
+        if item is None:
             break
-        out = dispatch(blk)
+        g, blk = item
+        out = dispatch(g, blk)
         if pending is not None:  # depth-1 pipeline: overlap readback
-            found_total += int(np.asarray(pending[0]).sum())
-            ok_total += int((np.asarray(pending[1]) == OK).sum())
-        pending = out
-    found_total += int(np.asarray(pending[0]).sum())
-    ok_total += int((np.asarray(pending[1]) == OK).sum())
+            settle(pending)
+        pending = (g, out)
+    settle(pending)
     dt = time.perf_counter() - t0
+    rss_end = rss_mb()
 
-    samples = n_slabs * slab * T
-    rate_e2e = samples / dt / 1e6
+    found_total = sum(g["found"] for g in groups)
+    ok_total = sum(g["ok"] for g in groups)
+    n_done = sum(g["slabs"] for g in groups)
+    rate_e2e = samples_done / dt / 1e6
     n_rt = rate_e2e * 1e6 / 0.5e6
+    per_slab = np.diff(np.concatenate([[0.0], np.asarray(slab_done_t)]))
+    half = max(len(per_slab) // 2, 1)
+    drift = float(np.median(per_slab[half:]) / np.median(per_slab[:half])) \
+        if len(per_slab) >= 4 else 1.0
 
     # ---- compute-only rate (resident input, chained dispatches) -----------
     # everything per rep lives inside ONE jit (returning the next eps as a
@@ -244,21 +317,34 @@ def main() -> None:
     rate_pcie = min(rate_c, PCIE_GBPS * 1e3 / bps)
     rec = {
         "bench": "config5_e2e",
-        "channels": B, "slab": slab, "slabs": n_slabs, "T": T,
+        "channels": B, "slab": slab, "slabs": n_done, "T": T,
         "mode": mode,
         "measured_Msamp_s": round(rate_e2e, 1),
         "measured_rt_channels_500kHz": round(n_rt, 1),
         "frames_found": found_total, "frames_decoded_ok": ok_total,
-        "of": n_slabs * slab,
+        "of": n_done * slab,
         "wall_s": round(dt, 1),
         "convert_host_s": round(t_convert[0], 2),
         "compute_only_Msamp_s_per_slab": round(rate_c, 1),
         "link_bytes_per_sample": bps,
         "pcie16GBs_projection_Msamp_s": round(rate_pcie, 1),
         "pcie16GBs_projection_rt_channels": round(rate_pcie * 2, 1),
+        "per_slab_s": {
+            "median": round(float(np.median(per_slab)), 2),
+            "p95": round(float(np.percentile(per_slab, 95)), 2),
+            "max": round(float(per_slab.max()), 2),
+            "late_vs_early_drift": round(drift, 3),
+        },
+        "rss_mb": {"start": rss_start, "end": rss_end},
         "note": "measured_* is end-to-end through the dev tunnel; the "
                 "pcie projection is labeled, not measured",
     }
+    if len(groups) > 1:
+        rec["groups"] = [
+            {"sf": g["sf"], "slabs": g["slabs"], "found": g["found"],
+             "ok": g["ok"], "of": g["slabs"] * slab}
+            for g in groups
+        ]
     print(json.dumps(rec))
 
 
