@@ -922,24 +922,32 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
             return roi[k][:]
 
         # 2. sync scan with two-symbol lookahead and fine-CFO integration
-        #    (models/demodulator._scan_track, LoRaDemod.cpp:183-237)
+        #    (models/demodulator._scan_track, LoRaDemod.cpp:183-237).
+        #    The step's window and its lookahead are INDEPENDENT given the
+        #    carried ferr, so they stack into ONE (2*TC, N) detect — half
+        #    the detect launches and twice the matmul rows per launch
+        #    (round-5; the per-row arithmetic is unchanged, outputs are
+        #    bit-identical to the two-detect form)
         state = jnp.zeros((TC, 1), jnp.int32)
         ferr = jnp.zeros((TC, 1), jnp.float32)
         prev_q = jnp.full((TC, 1), 999, jnp.int32)
         k_sync = jnp.zeros((TC, 1), jnp.int32)
         thr = jnp.float32(thresh)
+        rv2 = jnp.concatenate([rv, rv], 0)
         for k in range(N_SCAN):
+            ferr2 = jnp.concatenate([ferr, ferr], 0)
             zr, zi = _dechirp_shift_vals(
-                swr(k), swi(k), cu_r, cu_i, ferr, rv, False
+                jnp.concatenate([swr(k), swr(k + 1)], 0),
+                jnp.concatenate([swi(k), swi(k + 1)], 0),
+                cu_r, cu_i, ferr2, rv2, False,
             )
-            val, pwr, nse, fidx = det(zr, zi, True)
+            val2, pwr2, nse2, fidx2 = det(zr, zi, True)
+            val, pwr, nse, fidx = (
+                val2[:TC], pwr2[:TC], nse2[:TC], fidx2[:TC]
+            )
             squelched = (pwr - nse) < thr
             q = (val + 4) // 8
-            z1r, z1i = _dechirp_shift_vals(
-                swr(k + 1), swi(k + 1), cu_r, cu_i, ferr, rv, False
-            )
-            val1, _, _, _ = det(z1r, z1i, False)
-            q1 = (val1 + 4) // 8
+            q1 = (val2[TC:] + 4) // 8
             searching = state == 0
             is_sync = (
                 searching
@@ -957,7 +965,8 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
             )
             prev_q = jnp.where(searching, q, prev_q)
 
-        # 3. downchirp pair at k_sync+2 / k_sync+3 (masked row select)
+        # 3. downchirp pair at k_sync+2 / k_sync+3 (masked row select),
+        #    stacked into one (2*TC, N) down-chirp detect like the scan
         dc0r = jnp.zeros((TC, N), jnp.float32)
         dc0i = jnp.zeros((TC, N), jnp.float32)
         dc1r = jnp.zeros((TC, N), jnp.float32)
@@ -970,10 +979,14 @@ def _track_kernel_factory(N, TC, sync0, sync1, thresh, make_det, W=None):
             dc0i = dc0i + m0 * wi
             dc1r = dc1r + m1 * wr
             dc1i = dc1i + m1 * wi
-        z0r, z0i = _dechirp_shift_vals(dc0r, dc0i, cd_r, cd_i, ferr, rv, True)
-        v0, _, _, _ = det(z0r, z0i, False)
-        z1r, z1i = _dechirp_shift_vals(dc1r, dc1i, cd_r, cd_i, ferr, rv, True)
-        v1, p1, n1, _ = det(z1r, z1i, False)
+        zdr, zdi = _dechirp_shift_vals(
+            jnp.concatenate([dc0r, dc1r], 0),
+            jnp.concatenate([dc0i, dc1i], 0),
+            cd_r, cd_i, jnp.concatenate([ferr, ferr], 0), rv2, True,
+        )
+        vd, pd, nd, _ = det(zdr, zdi, False)
+        v0 = vd[:TC]
+        v1, p1, n1 = vd[TC:], pd[TC:], nd[TC:]
         signed = lambda v: jnp.where(v > N // 2, v - N, v).astype(jnp.int32)
         freq_error = _trunc_half_i32(signed(v0) + signed(v1))
         fine_total = ferr + _trunc_half_i32(freq_error).astype(jnp.float32)
