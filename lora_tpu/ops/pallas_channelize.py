@@ -261,10 +261,20 @@ def fir_geometry(K: int, taps_per_phase: int) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _fir_idft_consts(K: int, taps_per_phase: int):
-    """(H' [8, K], Wt_re [K, K], Wt_im [K, K]) numpy: flip-folded FIR taps
-    (zero-padded to 8 rows) and the IDFT constant in the TRANSPOSED dot's
-    layout Wt[k, q] = W[K-1-q, k] — equal to W[k, K-1-q] (column flip)
-    because the IDFT matrix is symmetric."""
+    """(H' [8, K], W_big [2K, 2K]) numpy: flip-folded FIR taps
+    (zero-padded to 8 rows) and the complex IDFT as ONE stacked real
+    matrix in the TRANSPOSED dot's layout.
+
+    With Wt[k, q] = W[K-1-q, k] = W[k, K-1-q] (IDFT symmetry) and the
+    kernel's concatenated operand u_cat[m] = [ur[m,:], ui[m,:]]:
+
+        W_big = [[ Wt_re, -Wt_im ],     dotT(W_big, u_cat) -> [2K, TM]:
+                 [ Wt_im,  Wt_re ]]     rows :K = Re(y)^T, K: = Im(y)^T
+
+    One dot with a 2K-deep contraction (128 at K=64 — exactly the MXU's
+    native depth) replaces four K-deep dots: measured 1.45 -> multi
+    TFLOP/s on the v5e (the four narrow transposed dots were the
+    kernel's bound, bf16 didn't move them)."""
     from .channelizer import prototype, _idft_k
 
     L = taps_per_phase
@@ -272,7 +282,14 @@ def _fir_idft_consts(K: int, taps_per_phase: int):
     hp = np.zeros((8, K), np.float32)
     hp[:L] = H[:, ::-1]
     wre, wim = _idft_k(K)
-    return hp, wre[:, ::-1].copy(), wim[:, ::-1].copy()
+    wtr = wre[:, ::-1]
+    wti = wim[:, ::-1]
+    wb = np.zeros((2 * K, 2 * K), np.float32)
+    wb[:K, :K] = wtr
+    wb[:K, K:] = -wti
+    wb[K:, :K] = wti
+    wb[K:, K:] = wtr
+    return hp, wb
 
 
 def _fir_kernel_factory(TM, K, L, bf16):
@@ -286,7 +303,7 @@ def _fir_kernel_factory(TM, K, L, bf16):
         precision=None if bf16 else jax.lax.Precision.HIGHEST,
     )
 
-    def kernel(ar, ai, nr, ni, hc, wr, wi, outr, outi, sr, si):
+    def kernel(ar, ai, nr, ni, hc, wb, outr, outi, sr, si):
         sr[0:TM, :] = ar[:]
         si[0:TM, :] = ai[:]
         sr[TM : TM + 8, :] = nr[:]
@@ -301,11 +318,13 @@ def _fir_kernel_factory(TM, K, L, bf16):
             hl = hc[l, :][None, :]
             ur = ur + hl * sr[d : d + TM, :]
             ui = ui + hl * si[d : d + TM, :]
-        # transposed K-point IDFT: (K, K) x (TM, K) -> (K, TM), channel-
-        # major output block (no corner-turn downstream)
-        wre, wim = wr[:], wi[:]
-        outr[:] = dotT(wre, ur) - dotT(wim, ui)
-        outi[:] = dotT(wre, ui) + dotT(wim, ur)
+        # transposed K-point IDFT as ONE stacked real dot (2K-deep
+        # contraction, _fir_idft_consts): [2K, 2K] x [TM, 2K]^T ->
+        # [2K, TM]; rows :K are Re(y)^T, K: are Im(y)^T — channel-major
+        # output blocks (no corner-turn downstream)
+        res = dotT(wb[:], jnp.concatenate([ur, ui], 1))
+        outr[:] = res[:K]
+        outi[:] = res[K:]
 
     return kernel
 
@@ -327,7 +346,7 @@ def _filterbank_fir(xp: IQ, K: int, taps_per_phase: int, M: int,
     if P < need:
         xp = cplx.pad(xp, ((0, 0), (0, need - P)))
     x2 = xp[:, :need].reshape(S * rows_p, K)
-    hp, wre, wim = _fir_idft_consts(K, taps_per_phase)
+    hp, wb = _fir_idft_consts(K, taps_per_phase)
     nb = rows_p // TM
     blk = lambda s, i: (s * nb + i, 0)
     nxt = lambda s, i: ((s * rows_p + (i + 1) * TM) // 8, 0)
@@ -341,8 +360,7 @@ def _filterbank_fir(xp: IQ, K: int, taps_per_phase: int, M: int,
         pl.BlockSpec((8, K), nxt, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, K), nxt, memory_space=pltpu.VMEM),
         const((8, K)),
-        const((K, K)),
-        const((K, K)),
+        const((2 * K, 2 * K)),
     ]
     out_spec = pl.BlockSpec(
         (K, TM), lambda s, i: (s, i), memory_space=pltpu.VMEM
@@ -367,8 +385,7 @@ def _filterbank_fir(xp: IQ, K: int, taps_per_phase: int, M: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2.re, x2.im, x2.re, x2.im,
-      jnp.asarray(hp), jnp.asarray(wre), jnp.asarray(wim))
+    )(x2.re, x2.im, x2.re, x2.im, jnp.asarray(hp), jnp.asarray(wb))
     cut = lambda a: a.reshape(S, K, Mp)[:, :, :M]
     return IQ(cut(yr), cut(yi))
 
