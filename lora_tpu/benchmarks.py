@@ -157,6 +157,22 @@ def _emit(obj) -> None:
 def _worker_main(max_rungs: int) -> None:
     t_start = time.monotonic()
     budget = float(os.environ.get("LORA_WORKER_BUDGET_S", "1e9"))
+    beating = threading.Event()
+
+    def _heartbeat() -> None:
+        # Armed only after the FIRST rung banks (see below): from then on
+        # a kill gains the orchestrator nothing (it never restarts once a
+        # value is banked), while a 60-90 s fused-program compile between
+        # progress events must not trip the per-event watchdog (round-5:
+        # a compile gap banked only the floor rung).  Before the first
+        # rung, the silence IS the signal — warmup hangs must still fall
+        # through to the orchestrator's retry.
+        while True:
+            time.sleep(25.0)
+            if beating.is_set():
+                _emit({"event": "alive"})
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
 
     import jax
     import jax.numpy as jnp
@@ -211,6 +227,7 @@ def _worker_main(max_rungs: int) -> None:
             "event": "rung", "tag": tag, "value": round(msps, 2),
             "mode": fused, "batch": B, "sf": sf,
         })
+        beating.set()  # a value is banked: arm the compile heartbeat
     _emit({"event": "done"})
 
 

@@ -179,7 +179,12 @@ def _track_tc(N: int) -> int:
     # cap 32 re-measured on-chip round 3 (chained-dispatch sweep, N=128,
     # B=4096, bf16): TC=32 7.5 ms, 64 9.2, 128 10.1, 256 32.5 — wider
     # cells lose; the 13-step scan serializes regardless and bigger
-    # blocks only add VMEM pressure (tools/tune_kernels.sweep_track)
+    # blocks only add VMEM pressure (tools/tune_kernels.sweep_track).
+    # Round-5 --bigN re-sweep after the roll-free + stacked-pair reworks
+    # (N=2048/4096, TC in {8,16,24,32}, both modes): spreads of ~±20%
+    # with no consistent winner across modes (e.g. N=4096 f32 favors
+    # TC=32, bf16 favors TC=8) — within the dev tunnel's measured
+    # variance, so the floor stands.
     return max(8, min(32, (tc // 8) * 8))
 
 

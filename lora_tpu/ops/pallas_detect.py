@@ -63,6 +63,11 @@ def _tile_windows(N: int) -> int:
         # to hide the grid-step overhead.  256 keeps the pad waste of
         # small banks bounded (M rounds up to TW).
         return 256
+    if N == 2048:
+        # round-5 --bigN sweep: TW=32 wins in BOTH modes (f32 6.64 vs
+        # 2.28 Gsamp/s at the old TW=64; bf16 5.17 vs 4.95) — the wide
+        # tile's four-step temps spill at n2=16
+        return 32
     tw = max(8, min(128, (1 << 19) // (N * 4)))
     return min(tw, 16) if N >= 4096 else tw
 

@@ -3,10 +3,10 @@
 Run on real TPU hardware (takes the axon grant).  Sweeps the static
 geometry knobs that interpret-mode tests cannot measure:
 
-  * track-kernel channels/cell (TC) at small and large N — the round-1
-    dynamic-roll serialization capped TC at 32; the barrel-shift kernel
-    removed that bound, so wider cells may now win (ops/pallas_demod.
-    _track_tc TODO).
+  * track-kernel channels/cell (TC) at small and large N — swept at
+    N=128/1024 (round 3) and N=2048/4096 (round 5, --bigN, post
+    roll-free): no consistent cross-mode winner beyond the baked caps
+    (ops/pallas_demod._track_tc carries the record).
   * flat payload kernel block budget (_FLAT_MAX -> channels/cell PC).
   * bf16 MXU casts vs f32 for both kernels.
 
