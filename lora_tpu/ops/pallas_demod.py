@@ -454,9 +454,14 @@ def _payload_flat_pc(g: IQ, rs: jax.Array, fe: jax.Array, mtu: int,
     )
     kernel = _payload_flat_kernel_factory(N, M, make_det, want_mag2)
     # the dense bf16 DFT matrices add 2*N^2*2 bytes (4 MB at N=1024);
-    # the mag2 output adds a double-buffered (M, N) f32 block
+    # the mag2 output adds a double-buffered (M, N) f32 block; at
+    # N >= 2048 the four-step's per-group temps approach the 14 MB scoped
+    # budget at the full-block M near _FLAT_MAX (the SF12 mtu=60 shape
+    # failed to compile in the round-5 ladder) — give large N headroom
+    # (v5e VMEM is 128 MB)
     dense_bf16 = bf16 and MAX_DIRECT_N < N <= MAX_DENSE_BF16_N
-    vmem_mb = (24 if dense_bf16 else 14) + (8 if want_mag2 else 0)
+    vmem_mb = (24 if dense_bf16 else 14) + (8 if want_mag2 else 0) \
+        + (18 if N >= 2048 else 0)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -62,7 +62,7 @@ def bench_ingest() -> None:
     )
 
 
-def bench_pump() -> None:
+def bench_pump(B_arg: int = 0, sf_arg: int = 0) -> None:
     import jax.numpy as jnp
 
     from lora_tpu import api
@@ -73,11 +73,13 @@ def bench_pump() -> None:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    # CPU smoke keeps compile time sane (SF7); the TPU run uses the
-    # flagship SF10 point
-    cfg = LoRaConfig(sf=10 if on_tpu else 7, cr="4/8", ampl=1.0)
+    # CPU smoke keeps compile time sane (SF7); the TPU run defaults to
+    # the flagship SF10 point — override --B/--sf to pick a step size
+    # whose H2D does not drown in the dev tunnel's bandwidth variance
+    # (B=256 x SF10 ships ~25 MB/step through a 30 MB/s - 1 GB/s link)
+    cfg = LoRaConfig(sf=sf_arg or (10 if on_tpu else 7), cr="4/8", ampl=1.0)
     cfg = cfg.replace(mtu=cfg.num_symbols(16) + 2)
-    B = 256 if on_tpu else 16
+    B = B_arg or (256 if on_tpu else 16)
     rng = np.random.default_rng(1)
     payload = rng.integers(0, 256, (B, 16), dtype=np.uint8)
     iq = api.modulate(api.encode(jnp.asarray(payload), cfg), cfg)
@@ -143,10 +145,14 @@ def bench_pump() -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--B", type=int, default=0)
+    ap.add_argument("--sf", type=int, default=0)
+    ap.add_argument("--skip-ingest", action="store_true")
     args = ap.parse_args()
     if not args.tpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    bench_ingest()
-    bench_pump()
+    if not args.skip_ingest:
+        bench_ingest()
+    bench_pump(args.B, args.sf)
