@@ -243,6 +243,17 @@ def main() -> None:
         g["slabs"] += 1
         samples_done += slab * g["T"]
         slab_done_t.append(time.perf_counter() - t0)
+        n = len(slab_done_t)
+        if n % 5 == 0 or n <= 2:
+            # incremental evidence: a watchdog/timeout kill must not
+            # erase the run (round-5 lesson: a 2300 s timeout ate a full
+            # 20-minute sustained run that only printed at the end)
+            print(json.dumps({
+                "progress_slab": n, "t_s": round(slab_done_t[-1], 1),
+                "found": sum(gg["found"] for gg in groups),
+                "ok": sum(gg["ok"] for gg in groups),
+                "rss_mb": rss_mb(),
+            }), flush=True)
 
     threading.Thread(target=ingest, daemon=True).start()
     pending = None
@@ -268,6 +279,35 @@ def main() -> None:
     half = max(len(per_slab) // 2, 1)
     drift = float(np.median(per_slab[half:]) / np.median(per_slab[:half])) \
         if len(per_slab) >= 4 else 1.0
+
+    # the end-to-end record prints BEFORE the compute-only section so a
+    # timeout there cannot erase the measured run
+    rec = {
+        "bench": "config5_e2e",
+        "channels": B, "slab": slab, "slabs": n_done, "T": T,
+        "mode": mode,
+        "measured_Msamp_s": round(rate_e2e, 1),
+        "measured_rt_channels_500kHz": round(n_rt, 1),
+        "frames_found": found_total, "frames_decoded_ok": ok_total,
+        "of": n_done * slab,
+        "wall_s": round(dt, 1),
+        "convert_host_s": round(t_convert[0], 2),
+        "per_slab_s": {
+            "median": round(float(np.median(per_slab)), 2),
+            "p95": round(float(np.percentile(per_slab, 95)), 2),
+            "max": round(float(per_slab.max()), 2),
+            "late_vs_early_drift": round(drift, 3),
+        },
+        "rss_mb": {"start": rss_start, "end": rss_end},
+        "note": "measured_* is end-to-end through the dev tunnel",
+    }
+    if len(groups) > 1:
+        rec["groups"] = [
+            {"sf": g["sf"], "slabs": g["slabs"], "found": g["found"],
+             "ok": g["ok"], "of": g["slabs"] * slab}
+            for g in groups
+        ]
+    print(json.dumps(rec), flush=True)
 
     # ---- compute-only rate (resident input, chained dispatches) -----------
     # everything per rep lives inside ONE jit (returning the next eps as a
@@ -315,37 +355,14 @@ def main() -> None:
 
     bps = 8 if args.host_convert else 4  # link bytes per complex sample
     rate_pcie = min(rate_c, PCIE_GBPS * 1e3 / bps)
-    rec = {
-        "bench": "config5_e2e",
-        "channels": B, "slab": slab, "slabs": n_done, "T": T,
-        "mode": mode,
-        "measured_Msamp_s": round(rate_e2e, 1),
-        "measured_rt_channels_500kHz": round(n_rt, 1),
-        "frames_found": found_total, "frames_decoded_ok": ok_total,
-        "of": n_done * slab,
-        "wall_s": round(dt, 1),
-        "convert_host_s": round(t_convert[0], 2),
+    print(json.dumps({
+        "bench": "config5_e2e_compute",
         "compute_only_Msamp_s_per_slab": round(rate_c, 1),
         "link_bytes_per_sample": bps,
         "pcie16GBs_projection_Msamp_s": round(rate_pcie, 1),
         "pcie16GBs_projection_rt_channels": round(rate_pcie * 2, 1),
-        "per_slab_s": {
-            "median": round(float(np.median(per_slab)), 2),
-            "p95": round(float(np.percentile(per_slab, 95)), 2),
-            "max": round(float(per_slab.max()), 2),
-            "late_vs_early_drift": round(drift, 3),
-        },
-        "rss_mb": {"start": rss_start, "end": rss_end},
-        "note": "measured_* is end-to-end through the dev tunnel; the "
-                "pcie projection is labeled, not measured",
-    }
-    if len(groups) > 1:
-        rec["groups"] = [
-            {"sf": g["sf"], "slabs": g["slabs"], "found": g["found"],
-             "ok": g["ok"], "of": g["slabs"] * slab}
-            for g in groups
-        ]
-    print(json.dumps(rec))
+        "note": "the pcie projection is labeled, not measured",
+    }))
 
 
 if __name__ == "__main__":
