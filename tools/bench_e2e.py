@@ -173,7 +173,13 @@ def main() -> None:
     step_f32 = g0["step_f32"]
 
     def host_blocks(g: dict):
-        """One slab's queue payload, converted per `mode` (timed)."""
+        """One slab's queue payload, converted per `mode` (timed).
+
+        Planar conversions land in a 4-deep per-group buffer POOL
+        (queue depth 2 + one in flight + one converting): fresh
+        per-slab allocations measured a ~0.8 GB/slab linear RSS climb
+        on the tunneled runtime (the client retains per-transfer host
+        staging) — reusing the same buffers re-pins the same memory."""
         t0 = time.perf_counter()
         gw, gT = g["wire"], g["T"]
         if args.host_convert:
@@ -182,8 +188,18 @@ def main() -> None:
         elif args.interleaved:
             blk = gw
         else:  # planar int16: a cheap strided numpy copy on the host
-            blk = (np.ascontiguousarray(gw[:, 0::2]),
-                   np.ascontiguousarray(gw[:, 1::2]))
+            if "pool" not in g:
+                g["pool"] = [
+                    (np.empty((slab, gT), np.int16),
+                     np.empty((slab, gT), np.int16))
+                    for _ in range(4)
+                ]
+                g["pool_i"] = 0
+            br, bi = g["pool"][g["pool_i"] % 4]
+            g["pool_i"] += 1
+            np.copyto(br, gw[:, 0::2])
+            np.copyto(bi, gw[:, 1::2])
+            blk = (br, bi)
         t_convert[0] += time.perf_counter() - t0
         return blk
 
@@ -244,6 +260,12 @@ def main() -> None:
         samples_done += slab * g["T"]
         slab_done_t.append(time.perf_counter() - t0)
         n = len(slab_done_t)
+        if n % 5 == 0:
+            import gc
+
+            gc.collect()  # dangling device-array handles hold host
+            # staging on this runtime; collect keeps RSS honest for the
+            # leak check
         if n % 5 == 0 or n <= 2:
             # incremental evidence: a watchdog/timeout kill must not
             # erase the run (round-5 lesson: a 2300 s timeout ate a full
