@@ -204,11 +204,18 @@ def main() -> None:
         return blk
 
     def dispatch(g: dict, blk):
-        if args.host_convert:
-            return g["step_f32"](jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+        """Returns (outputs, device-input handles).  The handles are
+        .delete()d after the slab's readback: on the tunneled runtime
+        the client retains per-transfer host staging 1:1 with H2D bytes
+        (measured ~0.5-0.8 GB/slab RSS slope that neither host-buffer
+        reuse nor gc moved); explicit device-array deletion is the
+        remaining release hook."""
         if args.interleaved:
-            return g["step_wire"](jnp.asarray(blk))
-        return g["step_planar16"](jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+            dev = [jnp.asarray(blk)]
+            return g["step_wire"](dev[0]), dev
+        dev = [jnp.asarray(blk[0]), jnp.asarray(blk[1])]
+        step = g["step_f32"] if args.host_convert else g["step_planar16"]
+        return step(dev[0], dev[1]), dev
 
     def rss_mb() -> float:
         with open("/proc/self/status") as f:
@@ -222,7 +229,7 @@ def main() -> None:
     blk0 = None
     for g in groups:
         blk = host_blocks(g)
-        out = dispatch(g, blk)
+        out, _dev = dispatch(g, blk)
         np.asarray(out[0])
         if blk0 is None:
             blk0 = blk
@@ -253,9 +260,11 @@ def main() -> None:
 
     def settle(pend):
         nonlocal samples_done
-        g, out = pend
+        g, out, dev = pend
         g["found"] += int(np.asarray(out[0]).sum())
         g["ok"] += int((np.asarray(out[1]) == OK).sum())
+        for d in dev:
+            d.delete()
         g["slabs"] += 1
         samples_done += slab * g["T"]
         slab_done_t.append(time.perf_counter() - t0)
@@ -284,10 +293,10 @@ def main() -> None:
         if item is None:
             break
         g, blk = item
-        out = dispatch(g, blk)
+        out, dev = dispatch(g, blk)
         if pending is not None:  # depth-1 pipeline: overlap readback
             settle(pending)
-        pending = (g, out)
+        pending = (g, out, dev)
     settle(pending)
     dt = time.perf_counter() - t0
     rss_end = rss_mb()
