@@ -103,3 +103,28 @@ def test_dispatcher_soft_mode_recovers_weak_channel():
     assert hard[0].found and hard[0].payload is None  # weak: hard drops it
     assert soft[0].payload == msgs[0]
     assert hard[1].payload == msgs[1] and soft[1].payload == msgs[1]
+
+def test_dispatcher_mesh_soft_combination(rng):
+    """mesh + soft together: each expert group demodulates sharded over
+    the virtual mesh in spectra mode, soft-decodes, and the CRC-less
+    false-positive guard still applies (round-5: the mesh route fetches
+    sharded results to host before the guard's numpy work)."""
+    import jax
+
+    from lora_tpu.parallel import make_mesh
+
+    mesh = make_mesh()  # all 8 virtual CPU devices on the channel axis
+    plan = [(7, "4/8"), (8, "4/7"), (7, "4/8"), (8, "4/7"), (7, "4/8")]
+    cfgs, streams, payloads = [], [], []
+    for i, (sf, cr) in enumerate(plan):
+        cfg = LoRaConfig(sf=sf, cr=cr, ampl=1.0)
+        cfg = cfg.replace(mtu=cfg.num_symbols(5) + 2)
+        p = rng.integers(0, 256, 5).astype(np.uint8)
+        cfgs.append(cfg)
+        payloads.append(p)
+        streams.append(_frame(cfg, p, lead=31 * i))
+    disp = ChannelDispatcher(cfgs, soft=True, mesh=mesh)
+    res = disp.run(streams)
+    for r, p in zip(res, payloads):
+        assert r.found and r.status == 0
+        assert r.payload == bytes(p.tolist())
