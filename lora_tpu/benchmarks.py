@@ -150,8 +150,17 @@ def _run_mode(api, jax, cfg, iq, fused: str, iters: int, pipelined: bool,
 # ---------------------------------------------------------------------------
 
 
+_EMIT_LOCK = threading.Lock()
+
+
 def _emit(obj) -> None:
-    print(_SENTINEL + json.dumps(obj), flush=True)
+    # one locked single-string write: print() issues payload and newline
+    # as separate writes, and the heartbeat thread emits concurrently
+    # with the rung events — a torn line would be dropped by the
+    # orchestrator's JSON parse, silently losing a banked rung
+    with _EMIT_LOCK:
+        sys.stdout.write(_SENTINEL + json.dumps(obj) + "\n")
+        sys.stdout.flush()
 
 
 def _worker_main(max_rungs: int) -> None:

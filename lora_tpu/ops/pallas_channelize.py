@@ -254,9 +254,10 @@ _FIR_MAX_K = 256
 def fir_geometry(K: int, taps_per_phase: int) -> bool:
     """True when the factorized FIR+IDFT kernel handles (K, L): lanes wide
     enough for the VPU/MXU (K >= 64), constants within VMEM sanity
-    (K <= 256), and the FIR history covered by one 8-row lookahead block
-    (L - 1 <= 8)."""
-    return 64 <= K <= _FIR_MAX_K and K % 64 == 0 and taps_per_phase <= 9
+    (K <= 256), and the FIR taps within the 8-row constant block /
+    lookahead (L <= 8; longer prototypes fall back to the dense kernel
+    or the XLA pipeline)."""
+    return 64 <= K <= _FIR_MAX_K and K % 64 == 0 and taps_per_phase <= 8
 
 
 @functools.lru_cache(maxsize=None)

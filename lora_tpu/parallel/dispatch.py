@@ -108,6 +108,7 @@ class ChannelDispatcher:
                 bank_re[i, : re.shape[-1]] = re
                 bank_im[i, : im.shape[-1]] = im
             bank = IQ(jnp.asarray(bank_re), jnp.asarray(bank_im))
+            pre_dec = pre_hard = None
             if self.mesh is not None:
                 import jax
 
@@ -121,10 +122,31 @@ class ChannelDispatcher:
                 dem = shard_demodulate(
                     bank, cfg, self.mesh, spectra=self.soft
                 )
+                if with_decode:
+                    # decode UNDER the sharding, before any host fetch:
+                    # allgathering the sharded spectra ([B, mtu, N] f32)
+                    # to every process and re-decoding the global batch
+                    # per host would move GBs and duplicate the work
+                    # x n_processes
+                    if self.soft:
+                        from ..models.softdec import decode_soft
+
+                        pre_dec = decode_soft(dem.fft_mag2, cfg)
+                        pre_hard = decode(
+                            dem.symbols.astype(jnp.int32), cfg
+                        )
+                    else:
+                        pre_dec = decode(dem.symbols.astype(jnp.int32), cfg)
                 # host-side routing needs host values; under multi-process
                 # jax.distributed the shards span non-addressable devices,
-                # so gather the global value (single-process: plain fetch)
-                dem = jax.tree.map(_fetch, dem)
+                # so gather the global values (single-process: plain
+                # fetch).  The spectra stay on device — only compact
+                # results cross to the host.
+                dem = jax.tree.map(
+                    _fetch, dataclasses.replace(dem, fft_mag2=None)
+                )
+                pre_dec = jax.tree.map(_fetch, pre_dec)
+                pre_hard = jax.tree.map(_fetch, pre_hard)
             else:
                 dem = demodulate(bank, cfg, spectra=self.soft)
             # a frame only counts if its payload fits the buffer — the
@@ -139,14 +161,18 @@ class ChannelDispatcher:
                 if self.soft:
                     from ..models.softdec import decode_soft, guard_soft_status
 
-                    dec = decode_soft(dem.fft_mag2, cfg)
+                    dec = (pre_dec if pre_dec is not None
+                           else decode_soft(dem.fft_mag2, cfg))
                     # false-positive guard: a CRC-less soft OK must be
                     # confirmed by the hard-decision decode, else it is
                     # reported as SOFT_UNVERIFIED (models/softdec caveat)
-                    dec_hard = decode(dem.symbols.astype(jnp.int32), cfg)
+                    dec_hard = (pre_hard if pre_hard is not None
+                                else decode(dem.symbols.astype(jnp.int32),
+                                            cfg))
                     statuses = guard_soft_status(dec, dec_hard)
                 else:
-                    dec = decode(dem.symbols.astype(jnp.int32), cfg)
+                    dec = (pre_dec if pre_dec is not None
+                           else decode(dem.symbols.astype(jnp.int32), cfg))
                     statuses = np.asarray(dec.status)
                 data = np.asarray(dec.data)
                 off = np.asarray(dec.offset)

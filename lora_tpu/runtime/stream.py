@@ -352,14 +352,30 @@ class StreamDemodulator:
         q: "_queue.Queue[tuple[str, object]]" = _queue.Queue(
             maxsize=max(prefetch, 1)
         )
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that also watches the stop flag: if the
+            # consumer abandons the generator (early break / exception),
+            # a plain q.put would block forever on the full queue,
+            # leaking the thread, its converted buffers, and the source
+            # iterator for the life of the process
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def worker() -> None:
             try:
                 for blk in blocks:
-                    q.put(("blk", self._to_planar(blk)))
-                q.put(("end", None))
+                    if not put(("blk", self._to_planar(blk))):
+                        return
+                put(("end", None))
             except BaseException as e:  # noqa: BLE001 — re-raised in main
-                q.put(("err", e))
+                put(("err", e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -376,19 +392,22 @@ class StreamDemodulator:
                 self._ring.append(*item)
 
         pending = None
-        while True:
-            if pending is not None:
-                if not exhausted:  # overlap: ingest while the device runs
+        try:
+            while True:
+                if pending is not None:
+                    if not exhausted:  # overlap: ingest while device runs
+                        take()
+                    yield from self._step_end(pending)
+                    pending = None
+                elif self.ready():
+                    pending = self._step_begin()
+                elif not exhausted:
                     take()
-                yield from self._step_end(pending)
-                pending = None
-            elif self.ready():
-                pending = self._step_begin()
-            elif not exhausted:
-                take()
-            else:
-                t.join()
-                return
+                else:
+                    t.join()
+                    return
+        finally:
+            stop.set()
 
     # -- checkpoint / resume (SURVEY.md §5) ------------------------------------
     def save_state(self, path: str) -> None:

@@ -146,7 +146,12 @@ def test_fir_geometry_gates():
     assert not fir_geometry(16, 8)    # lanes too narrow: dense kernel
     assert not fir_geometry(96, 8)    # K % 64 != 0
     assert not fir_geometry(512, 8)   # constants past the VMEM gate
+    assert not fir_geometry(64, 9)    # taps past the 8-row constant block
     assert not fir_geometry(64, 12)   # FIR history > one lookahead block
+    # auto must ROUTE AROUND the unsupported L, not raise (the dense
+    # kernel / XLA pipeline still handle it)
+    y, _ = chz.channelize(cplx.zeros((64 * 16,)), 64, taps_per_phase=9)
+    assert y.re.shape == (64, 16)
     x = cplx.zeros((16 * 8,))
     with pytest.raises(ValueError):
         chz.channelize(x, 16, impl="fir")

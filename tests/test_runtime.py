@@ -362,3 +362,36 @@ def test_live_tap_view_observer():
     lines = text.splitlines()
     assert len(lines) == 2 + 2            # header x2 + one row per channel
     assert out.getvalue().count("live taps") == view.steps  # one paint/step
+
+def test_pump_consumer_abandons_early(rng):
+    """Round-5 review finding: an abandoned pump() generator (early
+    break) must release its ingest worker — a plain bounded q.put would
+    block the thread forever on the full queue."""
+    import threading
+    import time as _time
+
+    from lora_tpu.runtime import StreamDemodulator
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(4) + 2)
+    B = 2
+    p = rng.integers(0, 256, (B, 4)).astype(np.uint8)
+    iq = api.modulate(api.encode(jnp.asarray(p), cfg), cfg)
+    wire = (np.asarray(iq.re) + 1j * np.asarray(iq.im)).astype(np.complex64)
+    T = wire.shape[-1] + 60000
+    bank = np.zeros((B, T), np.complex64)
+    bank[:, 500: 500 + wire.shape[-1]] = wire
+
+    def blocks():
+        for i in range(0, T, 4096):
+            yield bank[:, i: i + 4096]
+
+    before = threading.active_count()
+    sd = StreamDemodulator(cfg, channels=B)
+    for _f in sd.pump(blocks()):
+        break  # abandon after the first frame
+    # the worker must drain out within its put timeout
+    deadline = _time.monotonic() + 5.0
+    while threading.active_count() > before and _time.monotonic() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before, "pump worker leaked"

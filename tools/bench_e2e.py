@@ -231,6 +231,8 @@ def main() -> None:
         blk = host_blocks(g)
         out, _dev = dispatch(g, blk)
         np.asarray(out[0])
+        for d in _dev:  # release the warmup transfer's staging too
+            d.delete()
         if blk0 is None:
             blk0 = blk
     t_convert[0] = 0.0
@@ -336,7 +338,8 @@ def main() -> None:
         if pending is not None:  # depth-1 pipeline: overlap readback
             settle(pending)
         pending = (g, out, dev)
-    settle(pending)
+    if pending is not None:  # zero ingested slabs (tiny --minutes)
+        settle(pending)
     dt = time.perf_counter() - t0
     rss_end = rss_mb()
 
@@ -345,6 +348,10 @@ def main() -> None:
     n_done = sum(g["slabs"] for g in groups)
     rate_e2e = samples_done / dt / 1e6
     n_rt = rate_e2e * 1e6 / 0.5e6
+    if not slab_done_t:
+        print(json.dumps({"bench": "config5_e2e",
+                          "error": "no slabs ingested before the deadline"}))
+        return
     per_slab = np.diff(np.concatenate([[0.0], np.asarray(slab_done_t)]))
     half = max(len(per_slab) // 2, 1)
     drift = float(np.median(per_slab[half:]) / np.median(per_slab[:half])) \
