@@ -61,10 +61,12 @@ def extract_payloads(result: DecodeResult) -> list[bytes | None]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "cfg", "taps_per_phase", "max_frames", "fused"),
+    static_argnames=("K", "cfg", "taps_per_phase", "max_frames", "fused",
+                     "spectra"),
 )
 def _channelize_demod_step(
-    wb, K, cfg, taps_per_phase, max_frames, state, fused="auto"
+    wb, K, cfg, taps_per_phase, max_frames, state, fused="auto",
+    spectra=False,
 ):
     """One fused XLA program: polyphase filterbank + IDFT corner + the
     whole K-channel demod bank — a single device dispatch per wideband
@@ -78,7 +80,9 @@ def _channelize_demod_step(
     )
     Bw, _, M = y.shape
     bank = y.reshape(Bw * K, M)
-    dem = demodulate(bank, cfg, max_frames=max_frames, fused=fused)
+    dem = demodulate(
+        bank, cfg, max_frames=max_frames, fused=fused, spectra=spectra
+    )
     # reshape the [Bw*K, ...] result leaves to [Bw, K, ...] INSIDE the jit:
     # done eagerly in the wrapper it was one dispatch per leaf (~13 extra
     # tunnel RPCs per step, a measurable slice of the config-3 dispatch)
@@ -94,6 +98,7 @@ def channelized_demodulate(
     max_frames: int = 1,
     state=None,
     fused: str = "auto",
+    spectra: bool = False,
 ):
     """Wideband front-end: polyphase-channelize [..., T] at rate K*BW into
     K channels and demodulate every channel in one program (BASELINE.json
@@ -103,6 +108,11 @@ def channelized_demodulate(
     fused: demodulate()'s dispatch mode; "bf16" additionally runs the
     channelizer's filterbank contraction in bfloat16 with f32
     accumulation (ops/channelizer.channelize(bf16=True)).
+
+    spectra=True carries the payload |FFT|^2 windows in fft_mag2 (the
+    fused payload kernels emit them from VMEM) so the wideband bank can
+    soft-decode: decode_soft(dem.fft_mag2.reshape(-1, cfg.mtu, cfg.N))
+    or per-channel via the [..., K, mtu, N] leaves.
     """
     from .ops import channelizer as chz
 
@@ -112,7 +122,7 @@ def channelized_demodulate(
     if state is None:  # concrete zero state keeps the jit signature stable
         state = cplx.zeros((*wb.shape[:-1], taps_per_phase * K - 1))
     dem, new_state = _channelize_demod_step(
-        wb, K, cfg, taps_per_phase, max_frames, state, fused
+        wb, K, cfg, taps_per_phase, max_frames, state, fused, spectra
     )
     if squeeze:
         dem = jax.tree.map(lambda a: a[0], dem)

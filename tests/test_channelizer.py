@@ -294,3 +294,30 @@ def test_synthesize_lora_tx_rx_end_to_end(rng):
     for c in chans:
         assert found[c], c
         assert got[c] == bytes(payloads[c].tolist()), c
+
+def test_channelized_demodulate_soft_spectra(rng):
+    """Wideband soft RX (round-5): channelized_demodulate(spectra=True)
+    carries per-channel payload spectra; decode_soft over the occupied
+    channel reproduces the payload."""
+    import numpy as np
+
+    from lora_tpu import api
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.models.demodulator import required_samples
+    from lora_tpu.ops import cplx
+
+    cfg = LoRaConfig(sf=7, cr="4/8", ampl=1.0)
+    cfg = cfg.replace(mtu=cfg.num_symbols(5) + 2)
+    p = rng.integers(0, 256, (1, 5)).astype(np.uint8)
+    nb = api.modulate(api.encode(jnp.asarray(p), cfg), cfg)[0]
+    need = required_samples(cfg)
+    nb = cplx.pad(nb, ((48, need + 64 - nb.shape[-1] - 48),))
+    K, chan = 8, 3
+    wide = chz.upconvert(nb, K, chan)
+    wide = wide[..., : (wide.shape[-1] // K) * K]
+    dem, _ = api.channelized_demodulate(wide, K, cfg, spectra=True)
+    assert dem.fft_mag2 is not None
+    assert dem.fft_mag2.shape == (K, cfg.mtu, cfg.N)
+    assert bool(np.asarray(dem.found)[chan])
+    dec = api.decode_soft(dem.fft_mag2, cfg)
+    assert api.extract_payloads(dec)[chan] == bytes(p[0].tolist())
