@@ -271,6 +271,15 @@ def _probe_backend(timeout: float) -> str:
     for ln in p.stdout.splitlines():
         if ln.startswith("BACKEND="):
             return ln.split("=", 1)[1].strip()
+    if p.returncode != 0:
+        # the probe CRASHED (e.g. "Unable to initialize backend 'axon':
+        # UNAVAILABLE" — observed when the tunnel's server side is down):
+        # this image always pins axon first, so a crash means the TPU
+        # path exists but is currently failing.  Route to the resilient
+        # ladder — its workers fail per-rung and the orchestrator prints
+        # an honest 0.0 + error record, instead of the CPU path crashing
+        # below on the same backend init with NO JSON line at all.
+        return "tpu"
     return "cpu"
 
 
@@ -458,7 +467,16 @@ def main() -> None:
     from lora_tpu.models.demodulator import required_samples
     from lora_tpu.ops import cplx
 
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError as e:
+        # axon pinned but unavailable: drop to the CPU platform so the
+        # CI/validate path still produces a (CPU-labeled) record rather
+        # than dying with no JSON line
+        print(json.dumps({"warn": f"backend init failed: {e}"[:200],
+                          "fallback": "cpu"}), file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        on_tpu = False
     cfg = LoRaConfig(sf=10, cr="4/8", ampl=1.0)
     cfg = cfg.replace(mtu=cfg.num_symbols(32) + 4)
     T = required_samples(cfg)
