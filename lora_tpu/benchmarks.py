@@ -412,8 +412,15 @@ def _driver_ladder() -> None:
             elif kind == "skip":
                 rungs_seen[ev["tag"]] = "skipped(worker budget)"
                 rungs_left -= 1
-            elif kind in ("done", "eof"):
+            elif kind == "done":
                 return "done"
+            elif kind == "eof":
+                # stdout EOF WITHOUT a done event: the worker process
+                # died outside the per-rung try (e.g. backend init /
+                # warmup crash when the tunnel is down) — report it so
+                # the stderr excerpt (the actual error) reaches the
+                # record instead of an empty error dict
+                return "worker died"
             # staging/staged/compiled progress events just reset the watchdog
 
     remaining = deadline - time.monotonic() - reserve
@@ -510,6 +517,7 @@ def main() -> None:
             "unit": "Msamples/s/chip",
             "vs_baseline": round(msps / 0.5, 1),
             "mode": fused,
+            "backend": jax.default_backend(),
         }
         if errors:
             rec["fallback_from"] = errors

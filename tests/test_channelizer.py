@@ -313,8 +313,7 @@ def test_channelized_demodulate_soft_spectra(rng):
     need = required_samples(cfg)
     nb = cplx.pad(nb, ((48, need + 64 - nb.shape[-1] - 48),))
     K, chan = 8, 3
-    wide = chz.upconvert(nb, K, chan)
-    wide = wide[..., : (wide.shape[-1] // K) * K]
+    wide = chz.upconvert(nb, K, chan)  # returns exactly M*K samples
     dem, _ = api.channelized_demodulate(wide, K, cfg, spectra=True)
     assert dem.fft_mag2 is not None
     assert dem.fft_mag2.shape == (K, cfg.mtu, cfg.N)
